@@ -1,0 +1,162 @@
+"""Court constants, template/PoI loaders and per-frame homography mapping.
+
+Host-side (numpy) twins of the reference's ``utils/court.py`` and the
+frame<->court mapping helpers of ``utils/transform.py:23-51``.  These are
+I/O + bookkeeping utilities, deliberately kept off the jit path.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+__all__ = [
+    "CourtSizes",
+    "FrameMapping",
+    "CourtMapping",
+    "load_court_mask",
+    "load_court_poi",
+    "generate_uv_template",
+    "transform_poi_np",
+    "map_frame_to_court",
+    "map_court_to_frame",
+]
+
+
+class CourtSizes:
+    """Court dimension constants (reference ``utils/court.py:6-17``)."""
+
+    COURT_IN_PIXELS = (1280, 720)
+    FRAME_IN_PIXELS = (1280, 720)
+    COURT_IN_METERS = (32.2326, 17.145)
+    METERS2FEET = 3.28084
+    METERS2PIXELS = (COURT_IN_PIXELS[0] / COURT_IN_METERS[0],
+                     COURT_IN_PIXELS[1] / COURT_IN_METERS[1])
+    PIXELS2METERS = (COURT_IN_METERS[0] / COURT_IN_PIXELS[0],
+                     COURT_IN_METERS[1] / COURT_IN_PIXELS[1])
+
+
+class FrameMapping:
+    """Per-frame homographies + prediction score."""
+
+    def __init__(self, theta_f2c: np.ndarray, theta_c2f: np.ndarray, score: float):
+        self.theta_f2c = theta_f2c      # frame -> court
+        self.theta_c2f = theta_c2f      # court -> frame
+        self.score = score
+
+
+class CourtMapping:
+    """Parses a ``{game}_court.json`` prediction file into per-frame thetas.
+
+    Reference ``utils/court.py:20-53``.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "r") as f:
+            raw = json.load(f)
+        self.frames = {}
+        if "model" in raw:
+            model_name = raw.pop("model")
+            print("Court homography was predicted by the {} model".format(model_name))
+        for frame_id, data in raw.items():
+            score = float(data["score"])
+            theta_f2c = np.array(data["theta"])[0]
+            theta_c2f = np.linalg.inv(theta_f2c)
+            self.frames[frame_id] = FrameMapping(theta_f2c, theta_c2f, score)
+
+
+def load_court_mask(path: str, court_size, inter=None) -> np.ndarray:
+    """Load + resize a court template image (reference ``utils/court.py:56-67``)."""
+    import cv2
+
+    court_mask = cv2.imread(path, cv2.IMREAD_COLOR)
+    if court_mask.shape[0] != court_size[1] or court_mask.shape[1] != court_size[0]:
+        if inter is None:
+            inter = cv2.INTER_AREA if court_mask.shape[1] > court_size[0] else cv2.INTER_CUBIC
+        court_mask = cv2.resize(court_mask, tuple(court_size), interpolation=inter)
+    return court_mask
+
+
+def load_court_poi(path: str, normalize: bool = True,
+                   homogeneous: bool = False) -> np.ndarray:
+    """Load court points of interest from JSON (reference ``utils/court.py:70-99``).
+
+    The JSON stores points in [0, 1]; ``normalize`` maps them to [-1, 1].
+    """
+    with open(path) as f:
+        try:
+            points_data = json.load(f)
+            points_raw = points_data["points"]
+            ranges = points_data["ranges"]
+            assert ranges[0] == 1.0 and ranges[1] == 1.0
+            points = []
+            for p in points_raw:
+                if normalize:
+                    x, y = (p["coords"][0] - 0.5) * 2, (p["coords"][1] - 0.5) * 2
+                else:
+                    x, y = p["coords"][0], p["coords"][1]
+                points.append((x, y, 1.0) if homogeneous else (x, y))
+            return np.array(points)
+        except Exception as e:  # noqa: BLE001 - match reference error surface
+            raise ValueError(f"Cannot read {path}: {str(e)}")
+
+
+def generate_uv_template(size, dtype=np.float32, x_offset=(0, 0), y_offset=(0, 0)):
+    """Generate a UV template image (reference ``utils/court.py:102-129``)."""
+    if dtype in [np.float32, np.float64, float]:
+        start_u, start_v = 1.0 / size[0], 1.0 / size[1]
+        stop_u, stop_v = 1, 1
+    elif dtype in [np.uint16, np.int16]:
+        start_u, start_v = 1, 1
+        stop_u, stop_v = size[:]
+    else:
+        raise NotImplementedError
+
+    grid_u, grid_v = np.meshgrid(
+        np.linspace(start_u, stop_u, num=size[0], dtype=dtype),
+        np.linspace(start_v, stop_v, num=size[1], dtype=dtype),
+    )
+    u = np.zeros(grid_u.shape, dtype=dtype)
+    v = np.zeros(grid_v.shape, dtype=dtype)
+    x1, x2 = x_offset[0], size[0] - x_offset[1] - 1
+    y1, y2 = y_offset[0], size[1] - y_offset[1] - 1
+    u[y1:y2, x1:x2] = grid_u[y1:y2, x1:x2]
+    v[y1:y2, x1:x2] = grid_v[y1:y2, x1:x2]
+    return u.astype(dtype), v.astype(dtype)
+
+
+def transform_poi_np(theta: np.ndarray, poi: np.ndarray,
+                     normalize: bool = False) -> np.ndarray:
+    """Numpy perspective transform of 2D points (reference ``utils/transform.py:23-30``)."""
+    pts = np.asarray(poi, dtype=np.float64)
+    ones = np.ones((pts.shape[0], 1), dtype=pts.dtype)
+    ph = np.concatenate([pts, ones], axis=1)
+    out = ph @ np.asarray(theta, dtype=pts.dtype).T
+    proj = out[:, :2] / out[:, 2:3]
+    if normalize:
+        proj = proj / 2.0 + 0.5
+    return proj
+
+
+def map_frame_to_court(theta_f2c, frame_loc, frame_size=None):
+    """Map frame pixel locations to [0, 1] court coordinates
+    (reference ``utils/transform.py:33-41``)."""
+    if not isinstance(frame_loc, np.ndarray):
+        frame_loc = np.array([frame_loc], dtype=np.float32)
+    frame_loc = frame_loc.astype(np.float64, copy=True)
+    if frame_size is not None:
+        frame_loc[:, 0] = (frame_loc[:, 0] / frame_size[0] - 0.5) * 2.0
+        frame_loc[:, 1] = (frame_loc[:, 1] / frame_size[1] - 0.5) * 2.0
+    return transform_poi_np(theta_f2c, frame_loc, normalize=True)
+
+
+def map_court_to_frame(theta_c2f, court_loc, court_size=None):
+    """Map court pixel locations to [0, 1] frame coordinates
+    (reference ``utils/transform.py:44-51``)."""
+    if not isinstance(court_loc, np.ndarray):
+        court_loc = np.array([court_loc], dtype=np.float32)
+    court_loc = court_loc.astype(np.float64, copy=True)
+    if court_size is not None:
+        court_loc[:, 0] = (court_loc[:, 0] / court_size[0] - 0.5) * 2.0
+        court_loc[:, 1] = (court_loc[:, 1] / court_size[1] - 0.5) * 2.0
+    return transform_poi_np(theta_c2f, court_loc, normalize=True)

@@ -1,0 +1,154 @@
+"""Homography warping in pure JAX (NHWC), matching the reference semantics.
+
+The reference warps the court template with kornia's ``HomographyWarper``
+(``models/reconstructor.py:100-118``), which is:
+
+  1. a normalized meshgrid over the *output* (frame) image, with endpoints
+     included — ``x = linspace(-1, 1, W)``, ``y = linspace(-1, 1, H)``;
+  2. ``transform_points(theta, grid)`` mapping frame -> court coordinates
+     (perspective division included);
+  3. ``torch.nn.functional.grid_sample(src, grid, mode, padding_mode='zeros',
+     align_corners=False)``.
+
+We reproduce those exact semantics (including the subtle kornia quirk that
+the grid is built align_corners=True-style while grid_sample runs with
+``align_corners=False``) so that theta / warp-mask parity with the PyTorch
+reference holds to float tolerance.
+
+Everything here is jit-friendly: static shapes, no Python control flow on
+traced values.  The gather-based sampler below is the portable XLA path;
+``ops/warp_pallas.py`` provides a fused Pallas TPU kernel for the hot
+inference configuration and falls back to this implementation elsewhere.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .homography import transform_points
+
+__all__ = [
+    "normalized_grid",
+    "warp_grid",
+    "grid_sample",
+    "warp_homography",
+]
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_grid(height: int, width: int, dtype_name: str):
+    import numpy as np
+    xs = np.linspace(-1.0, 1.0, width, dtype=dtype_name)
+    ys = np.linspace(-1.0, 1.0, height, dtype=dtype_name)
+    grid = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (H, W, 2)
+    return jnp.asarray(grid)
+
+
+def normalized_grid(height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(H, W, 2) grid of (x, y) in [-1, 1], endpoints included.
+
+    Matches kornia's ``create_meshgrid(h, w, normalized_coordinates=True)``.
+    """
+    return _cached_grid(height, width, jnp.dtype(dtype).name)
+
+
+def warp_grid(theta: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Transform the normalized output grid by batched homographies.
+
+    Args:
+      theta: (B, 3, 3) or (B, 1, 3, 3) dst->src homographies.
+    Returns:
+      (B, H, W, 2) sampling locations in normalized src coordinates.
+    """
+    if theta.ndim == 4:
+        theta = theta[:, 0]
+    b = theta.shape[0]
+    grid = normalized_grid(height, width, theta.dtype).reshape(1, -1, 2)
+    pts = transform_points(theta, jnp.broadcast_to(grid, (b, height * width, 2)))
+    return pts.reshape(b, height, width, 2)
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    """[-1, 1] -> pixel coordinates, following torch.grid_sample."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _gather_2d(img_flat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
+               height: int, width: int) -> jnp.ndarray:
+    """Gather img[b, iy, ix, :] with already-validated int32 indices.
+
+    img_flat: (B, H*W, C); iy/ix: (B, P) int32 clipped to bounds.
+    Returns (B, P, C).
+    """
+    lin = iy * width + ix                                     # (B, P)
+    return jnp.take_along_axis(img_flat, lin[..., None], axis=1)
+
+
+def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
+                align_corners: bool = False) -> jnp.ndarray:
+    """``torch.nn.functional.grid_sample`` (padding_mode='zeros') in NHWC.
+
+    Args:
+      img:  (B, H, W, C) source image.
+      grid: (B, Ho, Wo, 2) sampling locations, (x, y) in [-1, 1].
+      mode: 'bilinear' or 'nearest'.
+    Returns:
+      (B, Ho, Wo, C) sampled output; out-of-bounds samples are zero.
+    """
+    b, h, w, c = img.shape
+    _, ho, wo, _ = grid.shape
+    x = _unnormalize(grid[..., 0].reshape(b, -1), w, align_corners)
+    y = _unnormalize(grid[..., 1].reshape(b, -1), h, align_corners)
+    img_flat = img.reshape(b, h * w, c)
+
+    if mode == "nearest":
+        # torch uses std::nearbyint == round-half-to-even, same as jnp.round.
+        ix = jnp.round(x).astype(jnp.int32)
+        iy = jnp.round(y).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        out = _gather_2d(img_flat, jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1), h, w)
+        out = jnp.where(valid[..., None], out, 0.0)
+        return out.reshape(b, ho, wo, c)
+
+    if mode != "bilinear":
+        raise NotImplementedError(f"grid_sample mode {mode!r}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(iy, ix):
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        v = _gather_2d(img_flat, jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1), h, w)
+        return jnp.where(valid[..., None], v, 0.0)
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+
+    top = v00 * (1.0 - tx) + v01 * tx
+    bot = v10 * (1.0 - tx) + v11 * tx
+    out = top * (1.0 - ty) + bot * ty
+    return out.reshape(b, ho, wo, c)
+
+
+def warp_homography(src: jnp.ndarray, theta: jnp.ndarray, out_hw,
+                    mode: str = "bilinear") -> jnp.ndarray:
+    """Warp ``src`` (B, H, W, C) by dst->src homographies ``theta``.
+
+    Equivalent to kornia ``HomographyWarper(h, w, mode,
+    normalized_coordinates=True)(src, theta)`` as used by the reference
+    (``models/reconstructor.py:109-118``): the output grid is built with
+    endpoints included and sampling runs align_corners=False.
+    """
+    ho, wo = out_hw
+    grid = warp_grid(theta, ho, wo)
+    return grid_sample(src, grid, mode=mode, align_corners=False)
