@@ -1,0 +1,263 @@
+"""Host-side datasets: image folders, annotated training samples, video.
+
+Torch-free re-design of reference ``utils/dataset.py``.  Samples are plain
+dicts of numpy arrays in NHWC / (H, W) layouts; batching, padding and
+device transfer live in ``data/loader.py``.
+
+Preprocessing parity notes (these decide theta parity end-to-end):
+  * images: ``PIL.Image.resize(size)`` — PIL's default (bicubic) filter,
+    exactly like reference ``utils/dataset.py:147``; then /255 float32.
+  * masks: PIL NEAREST resize, int64 (reference :165).
+  * video frames: cv2 INTER_AREA when downscaling else INTER_LINEAR
+    (reference :316).
+"""
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+__all__ = [
+    "split_on_train_val",
+    "BasicDataset",
+    "VideoDataset",
+    "preprocess_img",
+    "preprocess_mask",
+    "preprocess_weight",
+]
+
+MAX_VALUE_UINT16 = np.iinfo(np.uint16).max
+
+
+def split_on_train_val(img_dir: str, val_names: Sequence[str],
+                       only_ncaam: bool = False) -> Tuple[List[str], List[str]]:
+    """Split game sub-directories into train/val id lists
+    (reference ``utils/dataset.py:26-45``)."""
+    names = [n for n in os.listdir(img_dir)
+             if os.path.isdir(os.path.join(img_dir, n))]
+    train_ids: List[str] = []
+    val_ids: List[str] = []
+    for name in names:
+        subdir = os.path.join(img_dir, name)
+        ids = [os.path.join(name, f) for f in os.listdir(subdir)
+               if not f.endswith(".")]
+        if any(name == n for n in val_names):
+            val_ids += ids
+        else:
+            if only_ncaam and name[0] == "2":
+                print("Skip", name)
+                continue
+            train_ids += ids
+    return train_ids, val_ids
+
+
+def preprocess_img(pil_img: Image.Image, target_size,
+                   normalize: bool = True) -> np.ndarray:
+    """PIL image -> (H, W, C) float32 in [0, 1] (reference :145-161, NHWC)."""
+    pil_img = pil_img.resize(tuple(target_size))
+    arr = np.array(pil_img)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    arr = arr.astype(np.float32)
+    if normalize:
+        arr = arr / 255.0
+    return arr
+
+
+def preprocess_mask(pil_mask: Image.Image, target_size) -> np.ndarray:
+    """PIL mask -> (H, W) int64 labels, NEAREST resize (reference :163-169)."""
+    pil_mask = pil_mask.resize(tuple(target_size), resample=Image.NEAREST)
+    return np.array(pil_mask).astype(np.int64)
+
+
+def preprocess_uv_mask(uv_mask: np.ndarray, target_size):
+    """uint16 3-channel tiff -> (mask int64 (H,W), uv float32 (H,W,2))
+    (reference :171-185)."""
+    import cv2
+
+    assert uv_mask.dtype == np.uint16
+    uv_mask = cv2.resize(uv_mask, dsize=tuple(target_size),
+                         interpolation=cv2.INTER_NEAREST)
+    mask = uv_mask[:, :, 0].astype(np.int64)
+    uv = (uv_mask[:, :, 1:3] / float(MAX_VALUE_UINT16)).astype(np.float32)
+    return mask, uv
+
+
+def preprocess_poi(np_poi: np.ndarray):
+    """(N, 3) anno -> poi (N,2), nonzeros (N,), num_nonzero scalar
+    (reference :187-194)."""
+    anno = np.asarray(np_poi, dtype=np.float32)
+    nonzeros = anno[:, 2]
+    poi = anno[:, :2]
+    num_nonzero = np.count_nonzero(nonzeros).astype(np.float32)
+    return poi, nonzeros, num_nonzero
+
+
+def preprocess_weight(reproj_mse: float) -> np.ndarray:
+    """Annotation-quality weight: shaped sigmoid of reprojection MSE
+    (reference ``utils/dataset.py:196-209``)."""
+    x = reproj_mse / 0.01
+    x = x * 12 - 6
+    x = x * 1.25 + 1
+    y = 1 - 1 / (1 + np.exp(-x))
+    return np.array([y], dtype=np.float32)
+
+
+class BasicDataset:
+    """Image(+mask+anno) dataset over game sub-directories
+    (reference ``utils/dataset.py:99-293``)."""
+
+    def __init__(self, ids: Sequence[str], img_dir: str,
+                 mask_dir: Optional[str] = None, anno_dir: Optional[str] = None,
+                 anno_keys: Optional[Sequence[str]] = None, num_classes: int = 1,
+                 use_uv: bool = False, target_size=(1280, 720), aug=None,
+                 keep_orig_img: bool = False):
+        assert (anno_dir is not None and anno_keys is not None) or anno_dir is None
+        self.ids = list(ids)
+        self.img_dir = img_dir
+        self.mask_dir = mask_dir
+        self.anno_dir = anno_dir
+        self.anno_keys = anno_keys
+        self.num_classes = num_classes
+        self.use_uv = use_uv
+        self.target_size = tuple(target_size)
+        self.keep_orig_img = keep_orig_img
+        self.aug = None
+        if aug is not None:
+            from .augmentation import AugmentationPipeline
+            self.aug = AugmentationPipeline(aug, self.target_size, use_uv=use_uv)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        name = self.ids[i]
+        name_wo_ext = name[: name.rfind(".")]
+        sample: Dict[str, np.ndarray] = {"name": name_wo_ext,
+                                         "weight": np.float32(1.0)}
+
+        img_file = glob(os.path.join(self.img_dir, name))
+        anno_file = (glob(os.path.join(self.anno_dir, name_wo_ext + ".json"))
+                     if self.anno_dir is not None else None)
+        ext = ".tif" if self.use_uv else ".png"
+        mask_file = (glob(os.path.join(self.mask_dir, name_wo_ext + ext))
+                     if self.mask_dir is not None else None)
+
+        assert len(img_file) == 1, \
+            f"Either no image or multiple images found for the ID {name}: {img_file}"
+        assert mask_file is None or len(mask_file) == 1, \
+            f"Either no mask or multiple masks found for the ID {name_wo_ext + ext}: {mask_file}"
+        assert anno_file is None or len(anno_file) == 1, \
+            f"Either no json or multiple json found for the ID {name_wo_ext}.json: {anno_file}"
+
+        orig_img = Image.open(img_file[0])
+        img = preprocess_img(orig_img, self.target_size)
+
+        mask = uv = None
+        if self.use_uv and mask_file is not None:
+            import cv2
+            uv_mask = cv2.imread(mask_file[0], -1)
+            mask, uv = preprocess_uv_mask(uv_mask, self.target_size)
+        elif mask_file is not None:
+            mask = preprocess_mask(Image.open(mask_file[0]), self.target_size)
+
+        poi = nonzeros = num_nonzero = None
+        if anno_file is not None:
+            with open(anno_file[0], "r") as f:
+                json_data = json.load(f)
+            for k in self.anno_keys:
+                anno = np.asarray(json_data[k], dtype="float")
+                if k == "poi":
+                    poi, nonzeros, num_nonzero = preprocess_poi(anno)
+                elif k == "reproj_mse":
+                    sample["weight"] = preprocess_weight(anno)
+                else:
+                    sample[k] = anno.astype(np.float32)
+
+        if self.aug is not None:
+            img, mask, uv, poi, nonzeros = self.aug(
+                img, mask, uv, poi, nonzeros,
+                seed=np.random.randint(2147483647))
+
+        sample["image"] = img
+        if mask is not None:
+            sample["mask"] = mask
+        if uv is not None:
+            sample["uv"] = uv
+        if poi is not None:
+            sample["poi"] = poi
+            sample["nonzeros"] = nonzeros
+            sample["num_nonzero"] = num_nonzero
+        if self.keep_orig_img:
+            import cv2
+            sample["orig_img"] = cv2.cvtColor(np.array(orig_img), cv2.COLOR_RGB2BGR)
+        return sample
+
+
+class VideoDataset:
+    """Sequential-read video dataset (reference ``utils/dataset.py:296-358``).
+
+    ``__getitem__`` assumes in-order access (frames are read sequentially
+    with a seek-and-retry fallback and a black-frame last resort).
+    """
+
+    def __init__(self, path: str, target_size=(640, 360),
+                 max_frames: Optional[int] = None, keep_orig_img: bool = False):
+        import cv2
+
+        self.cap = None
+        self.path = path
+        self.target_size = tuple(target_size)
+        self.keep_orig_img = keep_orig_img
+        t = os.path.basename(path)
+        self.name = t[: t.rfind(".")]
+        num_frames = int(cv2.VideoCapture(self.path).get(cv2.CAP_PROP_FRAME_COUNT))
+        self.num_frames = (min(num_frames, max_frames)
+                           if max_frames is not None else num_frames)
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    @staticmethod
+    def preprocess_frame(frame: np.ndarray, target_size,
+                         normalize: bool = True) -> np.ndarray:
+        import cv2
+
+        target_w, target_h = target_size
+        h, w = frame.shape[:2]
+        if w != target_w or h != target_h:
+            inter = cv2.INTER_AREA if w > target_w else cv2.INTER_LINEAR
+            frame = cv2.resize(frame, (target_w, target_h), interpolation=inter)
+        if frame.ndim == 2:
+            frame = frame[..., None]
+        frame = frame.astype(np.float32)
+        if normalize:
+            frame = frame / 255.0
+        return frame
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        if self.cap is None:
+            self.cap = cv2.VideoCapture(self.path)
+        ret, frame = self.cap.read()
+        if ret is False:
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+            ret, frame = self.cap.read()
+            if ret is False:
+                w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                frame = np.zeros((h, w, 3), dtype=np.uint8)
+        img = self.preprocess_frame(frame, self.target_size)
+        sample = {"image": img, "name": self.name + "/" + str(i).zfill(6)}
+        if self.keep_orig_img:
+            sample["orig_img"] = frame
+        return sample
+
+    def __del__(self):
+        if self.cap is not None:
+            self.cap.release()

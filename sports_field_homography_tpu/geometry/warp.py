@@ -39,11 +39,12 @@ __all__ = [
 
 @functools.lru_cache(maxsize=32)
 def _cached_grid(height: int, width: int, dtype_name: str):
+    # cache numpy, not jnp: a jnp constant materialized inside a jit trace
+    # would leak a tracer out of the transformation
     import numpy as np
     xs = np.linspace(-1.0, 1.0, width, dtype=dtype_name)
     ys = np.linspace(-1.0, 1.0, height, dtype=dtype_name)
-    grid = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (H, W, 2)
-    return jnp.asarray(grid)
+    return np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (H, W, 2)
 
 
 def normalized_grid(height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -51,7 +52,7 @@ def normalized_grid(height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
 
     Matches kornia's ``create_meshgrid(h, w, normalized_coordinates=True)``.
     """
-    return _cached_grid(height, width, jnp.dtype(dtype).name)
+    return jnp.asarray(_cached_grid(height, width, jnp.dtype(dtype).name))
 
 
 def warp_grid(theta: jnp.ndarray, height: int, width: int) -> jnp.ndarray:

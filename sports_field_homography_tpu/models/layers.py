@@ -1,0 +1,104 @@
+"""Shared NN building blocks (flax.linen, NHWC) with PyTorch-compatible
+numerics.
+
+Everything computes in NHWC — the natural TPU layout (channels on the
+128-lane minor dimension) — while checkpoints converted from the PyTorch
+reference transpose OIHW -> HWIO once at load time (``compat/torch_import``).
+
+Initializers replicate PyTorch defaults so that training-from-scratch
+behaves like the reference:
+  * ``nn.Conv2d`` / ``nn.Linear`` default: kaiming_uniform(a=sqrt(5)) on
+    weights + uniform(+-1/sqrt(fan_in)) bias.
+  * The reference additionally re-initializes every conv inside ResNetSTN
+    with kaiming_normal(fan_out, relu) (reference ``models/resnet.py:189-194``).
+
+``BatchNorm`` matches ``torch.nn.BatchNorm2d`` exactly: biased variance for
+normalization, *unbiased* variance folded into the running estimate, torch
+momentum convention (0.1 = weight of the new batch statistic).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "torch_conv_kernel_init",
+    "torch_bias_init",
+    "kaiming_normal_fanout",
+    "BatchNorm",
+    "max_pool",
+]
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch default conv/linear weight init: kaiming_uniform(a=sqrt(5)).
+
+    For HWIO conv kernels fan_in = kh * kw * in_ch; for (in, out) dense
+    kernels fan_in = in.  Equivalent to uniform(+-sqrt(1 / fan_in)).
+    """
+    fan_in = int(math.prod(shape[:-1]))
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# kaiming_normal_(mode='fan_out', nonlinearity='relu'): N(0, sqrt(2/fan_out)).
+kaiming_normal_fanout = nn.initializers.variance_scaling(
+    2.0, "fan_out", "normal")
+
+
+class BatchNorm(nn.Module):
+    """``torch.nn.BatchNorm2d`` semantics over NHWC inputs.
+
+    Parameters live in f32 regardless of compute dtype; normalization is
+    performed in f32 then cast back (bf16-safe).
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1      # torch convention: weight of the new batch stat
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int, padding: int = 0) -> jnp.ndarray:
+    """torch ``MaxPool2d`` (ceil_mode=False); padded cells never win (-inf)."""
+    pads = ((padding, padding), (padding, padding))
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding=pads)

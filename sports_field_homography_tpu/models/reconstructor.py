@@ -1,0 +1,209 @@
+"""Reconstructor: UNet segmentation + ResNet STN + homography warper.
+
+Composition root of the framework — capability twin of the reference
+``models/reconstructor.py:30-246`` re-designed as a flax module whose
+forward is one fused, statically-shaped XLA program:
+
+  * All resolution adaptation (``forward_unet``'s in/out interpolates,
+    reference :132-158) resolves at trace time — mismatched sizes become
+    matmul-resizes, matched sizes compile to nothing.
+  * Output pruning: the reference returns a runtime-filtered dict; here the
+    requested outputs are static config, so XLA dead-code-eliminates
+    everything not requested (e.g. the warper when only theta is needed).
+  * The consistency score fuses the warp with per-pixel cross-entropy.
+
+Conventions: images NHWC in [0, 1]; theta (B, 1, 3, 3) maps frame->court
+in normalized [-1, 1] coordinates; ``court_img`` is the (B, Ht, Wt, 1)
+template scaled to [0, 1/classes..1]; ``court_poi`` is (B, N, 2) in [-1, 1].
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.homography import transform_poi
+from ..geometry.warp import warp_homography
+from ..ops.resize import resize_bilinear, resize_nearest
+from .losses import cross_entropy_map
+from .resnet import ResNetSTN, resnet_models
+from .unet import UNet
+
+__all__ = ["Input", "ReconstructorConfig", "Reconstructor"]
+
+
+class Input(enum.Enum):
+    """STN input selector (reference ``models/reconstructor.py:9-28``)."""
+
+    IMG = 1
+    MASK = 2
+    IMG_AND_MASK = 3
+    IMG_AND_MASK_AND_UV = 4
+
+    @classmethod
+    def parse(cls, value):
+        if value is None:
+            return None
+        if isinstance(value, cls):
+            return value
+        mapping = {"img": cls.IMG, "mask": cls.MASK,
+                   "img+mask": cls.IMG_AND_MASK,
+                   "img+mask+uv": cls.IMG_AND_MASK_AND_UV}
+        if value not in mapping:
+            raise NotImplementedError(value)
+        return mapping[value]
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconstructorConfig:
+    """Static model configuration (mirrors the reference ctor args,
+    ``models/reconstructor.py:36-49``).  Sizes are (W, H) like the reference.
+    """
+
+    target_size: Tuple[int, int] = (640, 360)
+    mask_classes: int = 4
+    use_unet: bool = True
+    unet_bilinear: bool = False
+    unet_size: Tuple[int, int] = (640, 360)
+    unet_uv: bool = False
+    use_resnet: bool = True
+    resnet_name: str = "resnet34"
+    resnet_input: str = "img+mask"
+    use_warper: bool = True
+    warp_size: Tuple[int, int] = (640, 360)
+    warp_with_nearest: bool = False
+
+    def __post_init__(self):
+        assert self.use_unet or self.use_resnet
+        mode = Input.parse(self.resnet_input)
+        if self.use_resnet:
+            assert mode is not None
+            if mode in (Input.MASK, Input.IMG_AND_MASK, Input.IMG_AND_MASK_AND_UV):
+                assert self.use_unet
+            if mode == Input.IMG_AND_MASK_AND_UV:
+                assert self.unet_uv
+
+    @property
+    def stn_in_channels(self) -> int:
+        mode = Input.parse(self.resnet_input)
+        return {Input.IMG: 3, Input.MASK: self.mask_classes,
+                Input.IMG_AND_MASK: self.mask_classes + 3,
+                Input.IMG_AND_MASK_AND_UV: self.mask_classes + 5}[mode]
+
+
+class Reconstructor(nn.Module):
+    config: ReconstructorConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        if cfg.use_unet:
+            self.unet = UNet(mask_classes=cfg.mask_classes,
+                             bilinear=cfg.unet_bilinear, uv=cfg.unet_uv,
+                             dtype=self.dtype)
+        if cfg.use_resnet:
+            spec = resnet_models[cfg.resnet_name]
+            self.resnet_reg = ResNetSTN(dtype=self.dtype, **spec)
+
+    # ---- submodule forwards -------------------------------------------------
+
+    def forward_unet(self, x: jnp.ndarray, train: bool):
+        """UNet with in/out resolution fitting (reference :132-158)."""
+        cfg = self.config
+        uw, uh = cfg.unet_size
+        if x.shape[2] != uw or x.shape[1] != uh:
+            x = resize_bilinear(x, (uh, uw), align_corners=False)
+        logits, x_top, uv = self.unet(x, train)
+        tw, th = cfg.target_size
+        if logits.shape[2] != tw or logits.shape[1] != th:
+            logits = resize_nearest(logits, (th, tw))
+        if uv is not None and (uv.shape[2] != tw or uv.shape[1] != th):
+            uv = resize_nearest(uv, (th, tw))
+        return logits, x_top, uv
+
+    def _stn_input(self, x, logits, uv):
+        mode = Input.parse(self.config.resnet_input)
+        if mode == Input.IMG:
+            return x
+        if mode == Input.MASK:
+            return logits
+        if mode == Input.IMG_AND_MASK:
+            return jnp.concatenate([logits, x], axis=-1)
+        if mode == Input.IMG_AND_MASK_AND_UV:
+            return jnp.concatenate([logits, x, uv], axis=-1)
+        raise NotImplementedError
+
+    def warp(self, theta: jnp.ndarray, court_img: jnp.ndarray,
+             nearest: Optional[bool] = None) -> jnp.ndarray:
+        """Warp the court template by predicted theta (reference :109-118).
+
+        Returns (B, H, W) like the reference's ``squeeze(1)``.
+        """
+        cfg = self.config
+        bs = theta.shape[0]
+        template = court_img[:bs]
+        mode = "nearest" if (cfg.warp_with_nearest if nearest is None else nearest) \
+            else "bilinear"
+        w, h = cfg.warp_size
+        out = warp_homography(template.astype(jnp.float32), theta, (h, w), mode=mode)
+        return out[..., 0]
+
+    # ---- public entry points ------------------------------------------------
+
+    def __call__(self, x: jnp.ndarray, court_img: jnp.ndarray,
+                 court_poi: jnp.ndarray, train: bool = False) -> dict:
+        """Training/eval forward (reference ``forward``, :160-194)."""
+        cfg = self.config
+        ret = {}
+        logits = uv = None
+        if cfg.use_unet:
+            logits, _, uv = self.forward_unet(x, train)
+            ret["logits"] = logits
+            if uv is not None:
+                ret["uv"] = uv
+        if cfg.use_resnet:
+            y = self._stn_input(x, logits, uv)
+            theta = self.resnet_reg(y, train)
+            ret["theta"] = theta
+            ret["poi"] = transform_poi(theta, court_poi[:theta.shape[0]])
+            if cfg.use_warper:
+                # training uses bilinear: nearest is flagged buggy in the
+                # reference during training (models/reconstructor.py:104-105)
+                ret["warp_mask"] = self.warp(theta, court_img)
+        return ret
+
+    def predict(self, x: jnp.ndarray, court_img: jnp.ndarray,
+                court_poi: jnp.ndarray, consistency: bool = True,
+                project_poi: bool = False) -> dict:
+        """Inference forward (reference ``predict``, :196-246).
+
+        ``warp_mask`` is returned as int32 class labels (template values *
+        mask_classes) and ``consist_score`` is the per-sample mean per-pixel
+        cross entropy between UNet logits and the warped labels.
+        """
+        cfg = self.config
+        ret = {}
+        logits = None
+        if cfg.use_unet:
+            logits, _, _ = self.forward_unet(x, train=False)
+            ret["logits"] = logits
+        if cfg.use_resnet:
+            y = self._stn_input(x, logits, None)
+            theta = self.resnet_reg(y, train=False)
+            ret["theta"] = theta
+            if cfg.use_warper:
+                warp_mask = self.warp(theta, court_img) * cfg.mask_classes
+                if consistency and cfg.use_unet:
+                    wm = warp_mask
+                    if logits.shape[1:3] != wm.shape[1:3]:
+                        wm = resize_nearest(wm[..., None], logits.shape[1:3])[..., 0]
+                    labels = wm.astype(jnp.int32)
+                    scores = cross_entropy_map(logits, labels)
+                    ret["consist_score"] = jnp.mean(scores, axis=(1, 2))
+                ret["warp_mask"] = warp_mask.astype(jnp.int32)
+            if project_poi:
+                ret["poi"] = transform_poi(theta, court_poi[:theta.shape[0]])
+        return ret

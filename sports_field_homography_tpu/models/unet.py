@@ -1,0 +1,162 @@
+"""UNet court-segmentation model (flax.linen, NHWC).
+
+Capability twin of the reference UNet (``unet/unet_parts.py``,
+``models/reconstructor.py:66-79``): 5-level encoder 64->1024, skip-connected
+decoder, deconv or bilinear upsampling, optional UV regression head.
+
+TPU-first choices:
+  * NHWC throughout; channel counts are multiples of 64 -> lane-aligned.
+  * The k2s2 ``ConvTranspose2d`` decoder is expressed as a 1x1-matmul to
+    4x channels followed by depth-to-space.  This is *algebraically
+    identical* to torch's transposed conv for kernel 2 / stride 2, but it
+    lowers to a single MXU matmul + reshape instead of a strided transposed
+    convolution.
+  * The asymmetric skip-alignment padding (reference ``unet/unet_parts.py:59-63``)
+    becomes a static jnp.pad — shapes are static under jit, so the pad
+    amounts are Python ints resolved at trace time.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import upsample2x_bilinear
+from .layers import BatchNorm, max_pool, torch_conv_kernel_init, torch_bias_init
+
+__all__ = ["DoubleConv", "Down", "Up", "OutConv", "UNet"]
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 pad1 -> BN -> ReLU) x 2 (reference ``unet/unet_parts.py:7-24``)."""
+
+    out_channels: int
+    mid_channels: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        mid = self.mid_channels or self.out_channels
+        in_ch = x.shape[-1]
+        x = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=torch_conv_kernel_init,
+                    bias_init=torch_bias_init(9 * in_ch), name="conv1")(x)
+        x = BatchNorm(mid, dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=torch_conv_kernel_init,
+                    bias_init=torch_bias_init(9 * mid), name="conv2")(x)
+        x = BatchNorm(self.out_channels, dtype=self.dtype, name="bn2")(x, train)
+        return nn.relu(x)
+
+
+class Down(nn.Module):
+    """maxpool2 then DoubleConv (reference ``unet/unet_parts.py:27-38``)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = max_pool(x, 2, 2)
+        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train)
+
+
+class Deconv2x(nn.Module):
+    """k2s2 transposed conv as matmul + depth-to-space.
+
+    out[n, 2i+p, 2j+q, o] = sum_c x[n, i, j, c] * W[c, p, q, o] + b[o]
+    — identical to ``nn.ConvTranspose2d(cin, cout, 2, 2)``; the weight is
+    the torch IOHW tensor transposed to (I, H, W, O).
+    """
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, cin = x.shape
+        cout = self.out_channels
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (cin, 2, 2, cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(cin * 4), (cout,), jnp.float32)
+        k = kernel.astype(self.dtype).reshape(cin, 4 * cout)
+        y = jnp.einsum("nhwc,ck->nhwk", x.astype(self.dtype), k)
+        y = y.reshape(n, h, w, 2, 2, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
+        return y + bias.astype(self.dtype)
+
+
+class Up(nn.Module):
+    """Upsample x1, pad to match skip x2, concat, DoubleConv
+    (reference ``unet/unet_parts.py:41-68``)."""
+
+    out_channels: int
+    bilinear: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
+        in_channels = x1.shape[-1]
+        if self.bilinear:
+            x1 = upsample2x_bilinear(x1)
+            mid = in_channels  # DoubleConv(mid=in_channels // 2) after concat
+        else:
+            x1 = Deconv2x(in_channels // 2, dtype=self.dtype, name="up")(x1)
+            mid = None
+
+        # Align to skip resolution: F.pad([dx//2, dx-dx//2, dy//2, dy-dy//2])
+        dy = x2.shape[1] - x1.shape[1]
+        dx = x2.shape[2] - x1.shape[2]
+        if dy or dx:
+            x1 = jnp.pad(x1, ((0, 0), (dy // 2, dy - dy // 2),
+                              (dx // 2, dx - dx // 2), (0, 0)))
+        x = jnp.concatenate([x2, x1], axis=-1)
+        if self.bilinear:
+            return DoubleConv(self.out_channels, mid_channels=x.shape[-1] // 2,
+                              dtype=self.dtype, name="conv")(x, train)
+        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train)
+
+
+class OutConv(nn.Module):
+    """1x1 projection head (reference ``unet/unet_parts.py:71-77``)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                       kernel_init=torch_conv_kernel_init,
+                       bias_init=torch_bias_init(x.shape[-1]), name="conv")(x)
+
+
+class UNet(nn.Module):
+    """Full UNet: logits (+ optional UV) + bottleneck feature.
+
+    Mirrors the layer stack the reference inlines into its Reconstructor
+    (``models/reconstructor.py:66-79``): channels 64/128/256/512/1024
+    (top halved when bilinear), 4 skip levels, 1x1 output heads.
+    """
+
+    mask_classes: int = 4
+    bilinear: bool = False
+    uv: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        factor = 2 if self.bilinear else 1
+        x1 = DoubleConv(64, dtype=self.dtype, name="inc")(x, train)
+        x2 = Down(128, dtype=self.dtype, name="down1")(x1, train)
+        x3 = Down(256, dtype=self.dtype, name="down2")(x2, train)
+        x4 = Down(512, dtype=self.dtype, name="down3")(x3, train)
+        x_top = Down(1024 // factor, dtype=self.dtype, name="down4")(x4, train)
+        y = Up(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(x_top, x4, train)
+        y = Up(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(y, x3, train)
+        y = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(y, x2, train)
+        y = Up(64, self.bilinear, dtype=self.dtype, name="up4")(y, x1, train)
+        logits = OutConv(self.mask_classes, dtype=self.dtype, name="outc")(y)
+        uv = OutConv(2, dtype=self.dtype, name="outuv")(y) if self.uv else None
+        return logits, x_top, uv

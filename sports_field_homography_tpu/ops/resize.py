@@ -55,7 +55,8 @@ def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool,
             lam = src - i0
             m[i, i0] += 1.0 - lam
             m[i, i1] += lam
-    return jnp.asarray(m.astype(dtype_name))
+    # cache numpy, not jnp: avoids leaking trace-time constants
+    return m.astype(dtype_name)
 
 
 @functools.lru_cache(maxsize=64)
@@ -63,7 +64,7 @@ def _nearest_indices(in_size: int, out_size: int):
     """int32 source indices matching torch mode='nearest' (floor of i*scale)."""
     scale = in_size / out_size
     idx = np.floor(np.arange(out_size) * scale).astype(np.int32)
-    return jnp.asarray(np.minimum(idx, in_size - 1))
+    return np.minimum(idx, in_size - 1)
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False) -> jnp.ndarray:
@@ -74,10 +75,10 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False) -> jnp.
         return x
     dtype = jnp.dtype(x.dtype).name
     if h != ho:
-        mh = _bilinear_matrix(h, ho, align_corners, dtype)
+        mh = jnp.asarray(_bilinear_matrix(h, ho, align_corners, dtype))
         x = jnp.einsum("oh,bhwc->bowc", mh, x, precision="highest")
     if w != wo:
-        mw = _bilinear_matrix(w, wo, align_corners, dtype)
+        mw = jnp.asarray(_bilinear_matrix(w, wo, align_corners, dtype))
         x = jnp.einsum("ow,bhwc->bhoc", mw, x, precision="highest")
     return x
 
@@ -89,9 +90,9 @@ def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     if (h, w) == (ho, wo):
         return x
     if h != ho:
-        x = jnp.take(x, _nearest_indices(h, ho), axis=1)
+        x = jnp.take(x, jnp.asarray(_nearest_indices(h, ho)), axis=1)
     if w != wo:
-        x = jnp.take(x, _nearest_indices(w, wo), axis=2)
+        x = jnp.take(x, jnp.asarray(_nearest_indices(w, wo)), axis=2)
     return x
 
 

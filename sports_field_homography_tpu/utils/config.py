@@ -1,0 +1,184 @@
+"""Argparse + YAML-overlay configuration system.
+
+Flag-compatible with the reference (``utils/config.py``): same argument
+names, defaults and YAML override mechanics (``parse_config`` +
+``replace_args`` with ``ignore_keys``), so existing reference conf.yaml
+files drive this framework unchanged.
+
+Known reference quirk, preserved by behavior: YAML keys that don't match an
+arg name are silently ignored — e.g. the reference example config's
+``segm_loss:`` key never takes effect because the arg is ``seg_loss``
+(reference ``conf/train_reconstructor.yaml.example:39`` vs
+``utils/config.py:122``).  We additionally *warn* when that specific
+footgun is detected.
+"""
+from __future__ import annotations
+
+import argparse
+
+import yaml
+
+__all__ = [
+    "parse_config",
+    "make_base_parser",
+    "get_training_args",
+    "get_prediction_args",
+    "get_test_args",
+    "replace_args",
+]
+
+
+def parse_config(path_to_yaml: str):
+    """Parse a YAML config file (reference ``utils/config.py:5-17``)."""
+    config = None
+    try:
+        with open(path_to_yaml, "r") as file:
+            config = yaml.safe_load(file)
+    except Exception:  # noqa: BLE001 - match reference behavior (print+None)
+        print("Error reading the config file:", path_to_yaml)
+    return config
+
+
+def make_base_parser() -> argparse.ArgumentParser:
+    """Shared model/geometry args (reference ``utils/config.py:19-73``)."""
+    parser = argparse.ArgumentParser(description="Reconstructor (TPU)")
+    parser.add_argument("--load", dest="load", type=str, default=None,
+                        help="Load model from a checkpoint (.pth/.msgpack/orbax dir)")
+    parser.add_argument("--conf_path", "-c", dest="conf_path", type=str, default=None,
+                        help="Load config from a .yaml file")
+    parser.add_argument("--viz", action="store_true", default=False,
+                        help="Visualize the images as they are processed")
+    parser.add_argument("--batchsize", "-bs", dest="batchsize", type=int, default=8,
+                        help="Batch size")
+
+    # Data:
+    parser.add_argument("--img_dir", dest="img_dir", type=str, default=None,
+                        help="Path to dir containing training images")
+    parser.add_argument("--court_img", dest="court_img", type=str,
+                        default="./assets/pitch_mask_nc4_hd_onehot.png",
+                        help="Path to court template image warped by the homography")
+    parser.add_argument("--court_poi", dest="court_poi", type=str,
+                        default="./assets/template_pitch_points.json",
+                        help="Path to court points of interest (reprojection error)")
+
+    # Resolutions (W, H):
+    parser.add_argument("--target_size", dest="target_size", default=(640, 360),
+                        help="Size of the input/output data")
+    parser.add_argument("--unet_size", dest="unet_size", default=(640, 360),
+                        help="Size of the UNET input/output")
+    parser.add_argument("--warp_size", dest="warp_size", default=(640, 360),
+                        help="Output size of warper")
+    parser.add_argument("--court_size", dest="court_size", default=(640, 360),
+                        help="Size of the court image template")
+
+    # Segmentation (UNET):
+    parser.add_argument("--use_unet", action="store_true", default=True,
+                        help="Whether to use UNET or not")
+    parser.add_argument("--unet_bilinear", action="store_true", default=False,
+                        help="Use bilinear upsampling (True) or deconvolution (False)")
+    parser.add_argument("--mask_classes", dest="mask_classes", type=int, default=4,
+                        help="Number of segmentation mask classes")
+    parser.add_argument("--unet_uv", action="store_true", default=False,
+                        help="Whether UNET also regresses a UV-mask")
+
+    # Regression (ResNetSTN):
+    parser.add_argument("--use_resnet", action="store_true", default=True,
+                        help="Whether to use ResNetSTN or not")
+    parser.add_argument("--resnet_name", type=str, default="resnet34",
+                        help="ResNetSTN variant (resnet18, resnet34, resnet50, ...)")
+    parser.add_argument("--resnet_input", type=str, default="img+mask",
+                        help="STN input: 'img / mask / img+mask / img+mask+uv'")
+    parser.add_argument("--use_warper", action="store_true", default=True,
+                        help="Whether to warp the court mask with the homography")
+
+    # TPU-specific:
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        help="Model compute dtype: bfloat16 (fast) or float32 (parity)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Data-parallel devices (default: all visible)")
+    return parser
+
+
+def get_training_args(ret_parser: bool = False, argv=None):
+    """Training args (reference ``utils/config.py:76-141``)."""
+    parser = make_base_parser()
+
+    parser.add_argument("--resnet_pretrained", type=str, default=None,
+                        help="Warm-start ResNetSTN from converted pretrained weights")
+
+    # Training data:
+    parser.add_argument("--mask_dir", dest="mask_dir", type=str, default=None)
+    parser.add_argument("--anno_dir", dest="anno_dir", type=str, default=None)
+    parser.add_argument("--anno_keys", dest="anno_keys", type=str, default=None)
+    parser.add_argument("--val_names", dest="val_names", type=str, default=None)
+    parser.add_argument("--aug", dest="aug", type=str, default=None)
+    parser.add_argument("--only_ncaam", action="store_true", default=False)
+
+    # Training args:
+    parser.add_argument("--opt", dest="opt", type=str, default="RMSprop")
+    parser.add_argument("--epochs", dest="epochs", type=int, default=8)
+    parser.add_argument("--lr", dest="lr", type=float, default=0.0001)
+    parser.add_argument("--weight_decay", dest="weight_decay", type=float, default=1e-8)
+    parser.add_argument("--val_step_n", dest="val_step_n", type=int, default=None)
+    parser.add_argument("--cp_dir", dest="cp_dir", type=str, default=None)
+    parser.add_argument("--log_dir", dest="log_dir", type=str, default=None)
+
+    # Losses:
+    parser.add_argument("--rec_loss", type=str, default="MSE")
+    parser.add_argument("--uv_loss", type=str, default="MSE")
+    parser.add_argument("--seg_loss", type=str, default="CE")
+    parser.add_argument("--reproj_loss", type=str, default=None)
+    parser.add_argument("--consist_loss", type=str, default=None)
+    parser.add_argument("--consist_start_iter", type=int, default=0)
+    parser.add_argument("--seg_lambda", type=float, default=2.0)
+    parser.add_argument("--rec_lambda", type=float, default=2.0)
+    parser.add_argument("--uv_lambda", type=float, default=2.0)
+    parser.add_argument("--reproj_lambda", type=float, default=8.0)
+    parser.add_argument("--consist_lambda", type=float, default=1.0)
+
+    return parser if ret_parser else parser.parse_args(argv)
+
+
+def get_prediction_args(argv=None):
+    """Prediction args (reference ``utils/config.py:144-165``)."""
+    parser = make_base_parser()
+    parser.add_argument("--video_path", type=str, default=None,
+                        help="Path to video to process (used when img_dir is empty)")
+    parser.add_argument("--dst_dir", type=str, default=None,
+                        help="Directory where the results will be saved")
+    parser.add_argument("--req_outputs", type=str,
+                        default="segm_mask,warp_mask,theta,poi,consistency,debug",
+                        help="Output names to be computed and saved")
+    parser.add_argument("--out_size", default=(1280, 720), nargs="+", type=int,
+                        help="Output images size")
+    parser.add_argument("--mask_type", type=str, default="gray",
+                        help="Output mask type [bin / gray / rgb]")
+    parser.add_argument("--mask_save_format", type=str, default="pickle",
+                        help="Mask save format [png / pickle]")
+    return parser.parse_args(argv)
+
+
+def get_test_args(argv=None):
+    """Checkpoint-sweep test args (reference ``utils/config.py:168-176``)."""
+    parser = get_training_args(ret_parser=True)
+    parser.description = "Test"
+    parser.add_argument("--test_epochs", dest="test_epochs", type=str, default=None,
+                        help="List of epochs to test, e.g. 1,2,5")
+    parser.add_argument("--metric_img_size", "-mis", dest="metric_img_size",
+                        default=(640, 360), help="Metric image size")
+    return parser.parse_args(argv)
+
+
+def replace_args(args, conf, ignore_keys=None):
+    """Overlay YAML values onto parsed args (reference ``utils/config.py:178-192``)."""
+    assert args is not None
+    assert conf is not None
+    ignore_keys = ignore_keys or []
+    if "segm_loss" in conf and "seg_loss" not in conf:
+        print("WARNING: config key 'segm_loss' is ignored (the arg is "
+              "'seg_loss'); keeping default/CLI value — this matches the "
+              "reference's silent behavior.")
+    for k in vars(args).keys():
+        if k not in ignore_keys and k in conf:
+            setattr(args, k, conf[k])
+    return args
