@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Headline benchmark: flagship inference throughput on one TPU chip.
+
+Measures frames/sec of the jitted ``Reconstructor.predict`` (UNet +
+resnet34, 640x360, theta+consistency — BASELINE config #1) in bf16 and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+vs_baseline divides by the reference operating point: V100 batch-18 fp32
+(README.md:59).  The reference publishes no fps; 70 fps is our documented
+estimate for that configuration (V100 ~15.7 TF fp32 against ~170
+GFLOP/frame at realistic utilization — see BASELINE.md).  The north-star
+target is vs_baseline >= 4.
+"""
+import json
+import time
+
+V100_BATCH18_FPS_ESTIMATE = 70.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship
+
+    batch = 32
+    model, court_img, court_poi, cfg = _flagship(batch, dtype=jnp.bfloat16)
+    w, h = cfg.target_size
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(rng, x[:1], court_img[:1],
+                                           court_poi[:1], train=False))()
+
+    @jax.jit
+    def predict(variables, x):
+        return model.apply(variables, x, court_img, court_poi,
+                           consistency=True, project_poi=False,
+                           method=model.predict)
+
+    # warmup / compile
+    out = predict(variables, x)
+    jax.block_until_ready(out)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = predict(variables, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch * n_iters / dt
+
+    print(json.dumps({
+        "metric": "inference_fps_640x360_theta_consistency_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / V100_BATCH18_FPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

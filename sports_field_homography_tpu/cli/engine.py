@@ -1,0 +1,124 @@
+"""Shared model-construction + jitted-apply plumbing for the CLIs.
+
+Centralizes what the reference repeats across train/predict/test mains
+(``train.py:328-475``, ``predict.py:125-256``, ``test.py:11-64``): build
+the Reconstructor from parsed args, load court constants, restore a
+checkpoint, and expose jitted apply functions with static batch shapes.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.assets import open_court_template, open_court_poi
+from ..models import Reconstructor, ReconstructorConfig
+from ..utils.checkpoint import load_checkpoint
+
+__all__ = ["build_model", "ModelBundle", "jit_predict_fn", "jit_forward_fn"]
+
+
+def _dtype_from_str(name: str):
+    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": jnp.float32, "f32": jnp.float32}[str(name)]
+
+
+@dataclass
+class ModelBundle:
+    model: Reconstructor
+    variables: Dict[str, Any]
+    court_img: jnp.ndarray
+    court_poi: jnp.ndarray
+    config: ReconstructorConfig
+
+
+def build_model(args, load: Optional[str] = None,
+                warp_with_nearest: bool = False,
+                batch_size: Optional[int] = None,
+                init_if_missing: bool = True,
+                seed: int = 0) -> ModelBundle:
+    """Construct Reconstructor + court constants from parsed CLI args."""
+    bs = batch_size if batch_size is not None else args.batchsize
+    cfg = ReconstructorConfig(
+        target_size=tuple(args.target_size),
+        mask_classes=args.mask_classes,
+        use_unet=args.use_unet,
+        unet_bilinear=args.unet_bilinear,
+        unet_size=tuple(args.unet_size),
+        unet_uv=getattr(args, "unet_uv", False),
+        use_resnet=args.use_resnet,
+        resnet_name=args.resnet_name,
+        resnet_input=args.resnet_input,
+        use_warper=args.use_warper,
+        warp_size=tuple(args.warp_size),
+        warp_with_nearest=warp_with_nearest,
+    )
+    dtype = _dtype_from_str(getattr(args, "compute_dtype", "bfloat16"))
+    model = Reconstructor(cfg, dtype=dtype)
+
+    court_img = open_court_template(args.court_img, num_classes=args.mask_classes,
+                                    size=args.court_size, batch_size=bs)
+    court_poi = open_court_poi(args.court_poi, bs)
+
+    variables = None
+    if load is not None:
+        if load.endswith(".pth"):
+            variables = load_checkpoint(load, unet_bilinear=cfg.unet_bilinear)
+        else:
+            target = _init_variables(model, cfg, court_img, court_poi, bs, seed)
+            variables = load_checkpoint(load, target=target,
+                                        unet_bilinear=cfg.unet_bilinear)
+    elif init_if_missing:
+        variables = _init_variables(model, cfg, court_img, court_poi, bs, seed)
+    return ModelBundle(model, variables, court_img, court_poi, cfg)
+
+
+def _init_variables(model, cfg, court_img, court_poi, bs, seed):
+    w, h = cfg.target_size
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    # jit the init: eager tracing executes op-by-op on device (very slow
+    # through the TPU tunnel); one compiled program is ~100x faster.
+    return jax.jit(lambda: model.init(jax.random.PRNGKey(seed), x,
+                                      court_img[:1], court_poi[:1],
+                                      train=False))()
+
+
+def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool):
+    """Jitted ``Reconstructor.predict`` closed over court constants.
+
+    Static req-output pruning happens through XLA DCE: the caller simply
+    drops unneeded dict entries and the compiler removes their compute.
+    """
+    model, court_img, court_poi = bundle.model, bundle.court_img, bundle.court_poi
+
+    @jax.jit
+    def fn(variables, x):
+        return model.apply(variables, x, court_img, court_poi,
+                           consistency=consistency, project_poi=project_poi,
+                           method=model.predict)
+    return fn
+
+
+def jit_forward_fn(bundle: ModelBundle, train: bool):
+    model, court_img, court_poi = bundle.model, bundle.court_img, bundle.court_poi
+
+    @jax.jit
+    def fn(variables, x):
+        return model.apply(variables, x, court_img, court_poi, train=train,
+                           mutable=["batch_stats"] if train else False)
+    return fn
+
+
+def discover_conf(load_path: Optional[str], conf_path: Optional[str]):
+    """Sidecar conf.yaml discovery next to the checkpoint
+    (reference ``predict.py:138-141``)."""
+    if conf_path is None and load_path is not None:
+        conf_path = os.path.join(os.path.dirname(load_path), "conf.yaml")
+    if conf_path is not None and not os.path.isfile(conf_path):
+        conf_path = None
+    return conf_path

@@ -1,0 +1,357 @@
+"""Batch-inference CLI: image dir / video -> theta + masks + score JSON.
+
+Capability twin of reference ``predict.py`` with the same flags, output
+layout and ``{game}_court.json`` format, re-architected for TPU:
+
+  * the reference's 3-process pipeline (GPU predict -> GPU->CPU transfer ->
+    writer, ``predict.py:45-122``) becomes: threaded host decode loader ->
+    device-prefetched jitted predict (XLA overlaps D2H of batch k with
+    compute of k+1) -> a writer thread draining a bounded queue.  Same
+    overlap structure, no process spawning, no tensor IPC.
+  * req_outputs are static: unneeded outputs are dropped from the jitted
+    function's return dict, so XLA dead-code-eliminates their compute
+    (e.g. no warp at all when only theta is requested).
+  * batches have one static shape; the tail batch is padded and masked.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import queue
+import threading
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+
+from ..data.dataset import BasicDataset, VideoDataset
+from ..data.loader import Loader, device_prefetch
+from ..utils.config import get_prediction_args, parse_config, replace_args
+from ..utils.logger import get_logger
+from ..utils.postprocess import preds_to_masks, onehot_to_image, overlay, draw_text
+from .engine import build_model, jit_predict_fn, discover_conf
+
+__all__ = ["process", "main"]
+
+
+class NumpyEncoder(json.JSONEncoder):
+    def default(self, obj):
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        return json.JSONEncoder.default(self, obj)
+
+
+def save_mask_as_png(mask, dst_dir, name, postfix="mask"):
+    import cv2
+
+    dst_subdir = os.path.join(dst_dir, postfix)
+    os.makedirs(dst_subdir, exist_ok=True)
+    cv2.imwrite(os.path.join(dst_subdir, name + ".png"), mask)
+
+
+class PickleMaskWriter:
+    """Pickled PNG-buffer stream writer (reference ``predict.py:26-37``)."""
+
+    def __init__(self, dst_dir: str, postfix: str = "mask"):
+        dst_subdir = os.path.join(dst_dir, postfix)
+        os.makedirs(dst_subdir, exist_ok=True)
+        self.file = open(os.path.join(dst_subdir, "data.pkl"), "wb+")
+
+    def write(self, name: str, mask: np.ndarray):
+        import cv2
+
+        _, buf = cv2.imencode(".png", mask)
+        pickle.dump([name, buf], self.file)
+
+    def close(self):
+        self.file.close()
+
+
+def _resize_masks(masks: np.ndarray, out_size) -> np.ndarray:
+    """Nearest-resize a batch of masks to (W, H)=out_size.
+
+    The reference always lands in this resize (its size check is
+    short-circuited — ``predict.py:305,311`` — so masks are always
+    resized); we keep the always-resize behavior.
+    """
+    import cv2
+
+    out = [cv2.resize(m, tuple(out_size), interpolation=cv2.INTER_NEAREST)
+           for m in masks]
+    return np.stack(out, axis=0)
+
+
+def process(argv=None, num_data_workers: int = 4):
+    args = get_prediction_args(argv)
+
+    # conf.yaml sidecar discovery + overlay (reference predict.py:137-148)
+    args.conf_path = discover_conf(args.load, args.conf_path)
+    if args.conf_path is not None:
+        print("Reading params from {}...".format(args.conf_path))
+        conf = parse_config(args.conf_path)
+        ignore_keys = ["conf_path", "batchsize", "court_img", "court_poi",
+                       "img_dir", "court_size", "warp_size", "load",
+                       "compute_dtype", "num_devices"]
+        args = replace_args(args, conf, ignore_keys=ignore_keys)
+
+    # resolution floors (reference predict.py:150-155)
+    args.out_size = tuple(args.out_size)
+    if args.court_size[0] < args.out_size[0]:
+        args.court_size = args.out_size
+    if args.warp_size[0] < args.out_size[0]:
+        args.warp_size = args.out_size
+
+    req_outputs = {n: True for n in args.req_outputs.split(",")}
+    os.makedirs(args.dst_dir, exist_ok=True)
+
+    if args.video_path is not None and len(args.video_path) > 0:
+        game_name = os.path.basename(os.path.dirname(args.video_path))
+    else:
+        game_name = os.path.basename(args.img_dir)
+
+    project_poi = "poi" in req_outputs
+    consistency = "consistency" in req_outputs
+    keep_orig_img = "debug" in req_outputs
+    if "debug" in req_outputs and "warp_mask" not in req_outputs:
+        req_outputs["warp_mask"] = True
+    args.use_warper = "warp_mask" in req_outputs or consistency
+    assert (consistency and args.use_unet) or not consistency
+    assert (project_poi and args.use_warper) or not project_poi
+
+    logger = get_logger(format="%(message)s", write_date=False)
+
+    bundle = build_model(args, load=args.load, warp_with_nearest=True)
+    predict = jit_predict_fn(bundle, consistency=consistency,
+                             project_poi=project_poi)
+
+    # dataset (reference predict.py:210-227)
+    assert args.img_dir is not None or args.video_path is not None, \
+        "img_dir and video_path cannot be both None"
+    if args.img_dir is not None:
+        ids = [n for n in os.listdir(args.img_dir)
+               if os.path.isfile(os.path.join(args.img_dir, n))]
+        ids.sort()
+        data = BasicDataset(ids, args.img_dir, None, None, None,
+                            args.mask_classes, use_uv=False,
+                            target_size=args.target_size,
+                            keep_orig_img=keep_orig_img)
+        loader = Loader(data, args.batchsize, shuffle=False,
+                        num_workers=num_data_workers)
+    else:
+        data = VideoDataset(path=args.video_path, target_size=args.target_size,
+                            keep_orig_img=keep_orig_img)
+        loader = Loader(data, args.batchsize, shuffle=False, num_workers=1)
+    n_data = len(data)
+
+    logger.info(f"""Start making predictions:
+            Model file:        {args.load}
+            Device:            {jax.devices()[0].platform}
+            Images dir:        {args.img_dir}
+            Video path:        {args.video_path}
+            Num images:        {n_data}
+            Batch size:        {args.batchsize}
+            Dest dir:          {args.dst_dir}
+            Required outputs:  {req_outputs}
+            Mask type:         {args.mask_type}
+            Mask save format:  {args.mask_save_format}
+            Consistency:       {consistency}
+            Use warper:        {args.use_warper}
+            ResNet input size: {args.target_size}
+            UNET input size:   {args.unet_size}
+            Court img size:    {args.court_size}
+            Warping size:      {args.warp_size}
+            Output size:       {args.out_size}
+        """)
+
+    # --- writer thread: encodes/saves while the device computes ------------
+    out_q: "queue.Queue" = queue.Queue(maxsize=8)
+    json_path = os.path.join(args.dst_dir,
+                             "{}_court_processing.json".format(game_name))
+    writer_state: Dict[str, Optional[object]] = {"json": None, "segm_pkl": None,
+                                                 "warp_pkl": None, "error": None}
+
+    def get_pickle_writer(key, postfix):
+        if writer_state[key] is None:
+            writer_state[key] = PickleMaskWriter(args.dst_dir, postfix)
+        return writer_state[key]
+
+    def writer_loop():
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                _write_outputs(item)
+        except BaseException as e:  # propagate to main thread
+            writer_state["error"] = e
+
+    def _write_outputs(host: Dict[str, np.ndarray]):
+        names = host["name"]
+        segm_mask = host.get("segm_mask")
+        warp_mask = host.get("warp_mask")
+        theta = host.get("theta")
+        consist_score = host.get("consist_score")
+        poi = host.get("poi")
+
+        # mask colorspace conversion (reference predict.py:287-301)
+        if args.mask_type == "rgb":
+            if segm_mask is not None:
+                segm_mask = onehot_to_image(segm_mask, args.mask_classes)
+            if warp_mask is not None:
+                warp_mask = onehot_to_image(warp_mask, args.mask_classes)
+        elif args.mask_type == "bin":
+            if segm_mask is not None:
+                segm_mask = ((segm_mask > 0) * 255).astype(np.uint8)
+            if warp_mask is not None:
+                warp_mask = ((warp_mask > 0) * 255).astype(np.uint8)
+        elif args.mask_type == "gray":
+            pass
+        else:
+            raise NotImplementedError(args.mask_type)
+
+        # always-resize to out_size (see _resize_masks docstring)
+        if segm_mask is not None:
+            segm_mask = _resize_masks(segm_mask, args.out_size)
+        if warp_mask is not None:
+            warp_mask = _resize_masks(warp_mask, args.out_size)
+
+        for i, n in enumerate(names):
+            t = n.split("/")
+            name = t[1] if len(t) == 2 else t[0]
+
+            if segm_mask is not None:
+                if args.mask_save_format == "png":
+                    save_mask_as_png(segm_mask[i], args.dst_dir, name,
+                                     postfix="court/segm_mask")
+                elif args.mask_save_format == "pickle":
+                    get_pickle_writer("segm_pkl", "court/segm_mask").write(
+                        name, segm_mask[i])
+                else:
+                    raise NotImplementedError(args.mask_save_format)
+
+            if warp_mask is not None:
+                if args.mask_save_format == "png":
+                    save_mask_as_png(warp_mask[i], args.dst_dir, name,
+                                     postfix="court/warp_mask")
+                elif args.mask_save_format == "pickle":
+                    get_pickle_writer("warp_pkl", "court/warp_mask").write(
+                        name, warp_mask[i])
+                else:
+                    raise NotImplementedError(args.mask_save_format)
+
+            if theta is not None or consist_score is not None or poi is not None:
+                if writer_state["json"] is None:
+                    writer_state["json"] = open(json_path, "w+")
+                outputs = {}
+                if consist_score is not None:
+                    outputs["score"] = float("{:5f}".format(consist_score[i]))
+                if theta is not None:
+                    outputs["theta"] = theta[i]
+                if poi is not None:
+                    outputs["poi"] = poi[i]
+                json.dump({name: outputs}, writer_state["json"], cls=NumpyEncoder)
+                writer_state["json"].write("\n")
+
+            if "debug" in req_outputs:
+                _write_debug(host, i, name, segm_mask, warp_mask,
+                             consist_score, poi)
+
+    def _write_debug(host, i, name, segm_mask, warp_mask, consist_score, poi):
+        import cv2
+
+        orig_img = np.asarray(host["orig_img"][i])
+        mask = None
+        if warp_mask is not None:
+            mask = warp_mask[i]
+        elif segm_mask is not None:
+            mask = segm_mask[i]
+        if mask is not None:
+            if mask.shape[0:2] != orig_img.shape[0:2]:
+                mask = cv2.resize(mask, (orig_img.shape[1], orig_img.shape[0]),
+                                  interpolation=cv2.INTER_NEAREST)
+            if args.mask_type != "rgb":
+                mask = onehot_to_image(mask, args.mask_classes)[0]
+            debug_img = overlay(orig_img, mask)
+        else:
+            debug_img = orig_img
+        if poi is not None:
+            img_h, img_w = orig_img.shape[0:2]
+            for pi, pts in enumerate(poi[i]):
+                if pts[0] < 0 or pts[0] >= img_w or pts[1] < 0 or pts[0] >= img_h:
+                    continue
+                x, y = int(round(pts[0] * img_w)), int(round(pts[1] * img_h))
+                debug_img = cv2.circle(debug_img, (x, y), 3,
+                                       color=(255, 255, 255), thickness=2)
+                draw_text(debug_img, text=str(pi), pos=(x + 3, y + 3),
+                          color=(128, 128, 255), scale=1)
+        if consist_score is not None:
+            draw_text(debug_img, text="{:4f}".format(consist_score[i]),
+                      pos=(15, 15), color=(0, 255, 0), scale=0.75)
+        dst_subdir = os.path.join(args.dst_dir, "court/debug")
+        os.makedirs(dst_subdir, exist_ok=True)
+        cv2.imwrite(os.path.join(dst_subdir, name + ".jpeg"), debug_img,
+                    [__import__("cv2").IMWRITE_JPEG_QUALITY, 90])
+
+    writer_thread = threading.Thread(target=writer_loop, daemon=True)
+    writer_thread.start()
+
+    # --- device loop -------------------------------------------------------
+    t_start = time.time()
+    n_done = 0
+    for batch in device_prefetch(iter(loader), depth=2):
+        preds = predict(bundle.variables, batch["image"])
+        nv = batch["num_valid"]
+        host: Dict[str, np.ndarray] = {"name": batch["name"][:nv]}
+        if "segm_mask" in req_outputs and "logits" in preds:
+            host["segm_mask"] = preds_to_masks(
+                np.asarray(preds["logits"][:nv]), args.mask_classes)
+        if "warp_mask" in req_outputs and "warp_mask" in preds:
+            host["warp_mask"] = np.asarray(preds["warp_mask"][:nv]).astype(np.uint8)
+        if "theta" in req_outputs and "theta" in preds:
+            host["theta"] = np.asarray(preds["theta"][:nv])
+        if "consist_score" in preds:
+            host["consist_score"] = np.asarray(preds["consist_score"][:nv])
+        if "poi" in req_outputs and "poi" in preds:
+            host["poi"] = np.asarray(preds["poi"][:nv])
+        if keep_orig_img:
+            host["orig_img"] = batch["orig_img"][:nv]
+        if writer_state["error"] is not None:
+            raise writer_state["error"]
+        out_q.put(host)
+        n_done += nv
+
+    out_q.put(None)
+    writer_thread.join()
+    if writer_state["error"] is not None:
+        raise writer_state["error"]
+    elapsed = time.time() - t_start
+    logger.info("Processed {} frames in {:.2f}s ({:.1f} fps)".format(
+        n_done, elapsed, n_done / max(elapsed, 1e-9)))
+
+    # close writers + merge JSONL -> {game}_court.json (reference :399-407)
+    for key in ("segm_pkl", "warp_pkl"):
+        if writer_state[key] is not None:
+            writer_state[key].close()
+    if writer_state["json"] is not None:
+        writer_state["json"].close()
+        output = {k: v for line in open(json_path, "r")
+                  for k, v in json.loads(line).items()}
+        output["model"] = os.path.basename(os.path.dirname(args.load)) \
+            if args.load else "uninitialized"
+        new_path = os.path.join(args.dst_dir, "{}_court.json".format(game_name))
+        with open(new_path, "w") as f:
+            json.dump(output, f, cls=NumpyEncoder, indent=2)
+        os.remove(json_path)
+
+    print("Processing completed!")
+
+
+def main():
+    process()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Training CLI (capability twin of reference ``train.py:328-481``).
+
+Same flags/YAML config surface; adds ``--num_devices`` for multi-chip data
+parallelism over a jax Mesh.  SIGTERM / Ctrl-C save an interrupt
+``last.msgpack`` checkpoint like the reference's ``last.pth``.
+"""
+from __future__ import annotations
+
+import os
+import signal
+import sys
+from shutil import copyfile
+
+import jax
+
+from ..data.dataset import BasicDataset, split_on_train_val
+from ..data.loader import Loader
+from ..train.loop import LossConfig, train_net
+from ..utils.checkpoint import save_checkpoint
+from ..utils.config import get_training_args, parse_config, replace_args
+from ..utils.logger import get_logger
+from .engine import build_model
+
+__all__ = ["main", "prepare_dataloader"]
+
+
+def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
+                       mask_classes, use_uv, batch_size, target_size, aug,
+                       only_ncaam):
+    """Train/val loaders (reference ``train.py:25-40``)."""
+    train_ids, val_ids = split_on_train_val(img_dir, val_names,
+                                            only_ncaam=only_ncaam)
+    train = BasicDataset(train_ids, img_dir, mask_dir, anno_dir, anno_keys,
+                         mask_classes, use_uv, target_size, aug=aug)
+    val = BasicDataset(val_ids, img_dir, mask_dir, anno_dir, anno_keys,
+                       mask_classes, use_uv, target_size)
+    train_loader = Loader(train, batch_size, shuffle=True, num_workers=8,
+                          drop_last=False, pad_last=True)
+    val_loader = Loader(val, batch_size, shuffle=False, num_workers=8,
+                        drop_last=True)
+    return train_loader, len(train), val_loader, len(val)
+
+
+def main(argv=None):
+    args = get_training_args(argv=argv)
+    if args.conf_path is not None:
+        conf = parse_config(args.conf_path)
+        args = replace_args(args, conf)
+
+    if not os.path.exists(args.cp_dir):
+        os.makedirs(args.cp_dir)
+    log_path = os.path.join(os.path.dirname(args.cp_dir.rstrip("/")), "train.txt")
+    logger = get_logger(log_path, format="%(message)s")
+
+    bundle = build_model(args, load=args.load, warp_with_nearest=False)
+    model, variables = bundle.model, bundle.variables
+
+    # warm-start the STN from converted torchvision weights if requested
+    if args.resnet_pretrained and args.load is None:
+        from ..compat.torch_import import load_torch_checkpoint
+        pre = load_torch_checkpoint(args.resnet_pretrained)
+        if pre["params"]:
+            logger.info(f"ResNet warm-start from {args.resnet_pretrained}")
+            for col in ("params", "batch_stats"):
+                if "resnet_reg" in pre.get(col, {}):
+                    dst = dict(variables[col])
+                    merged = dict(dst["resnet_reg"])
+                    for k, v in pre[col]["resnet_reg"].items():
+                        if k in merged:
+                            merged[k] = v
+                    dst["resnet_reg"] = merged
+                    variables[col] = dst
+
+    logger.info(f"""# Reconstructor network overview:
+            Target size:      {args.target_size}
+            Court img path:   {args.court_img}
+            Court PoI path:   {args.court_poi}
+            Court img size:   {args.court_size}
+            Use UNet:         {args.use_unet}
+            UNet bilinear:    {args.unet_bilinear}
+            UNet size:        {args.unet_size}
+            Mask classes:     {args.mask_classes}
+            UNet UV:          {args.unet_uv}
+            Use ResNet:       {args.use_resnet}
+            ResNet name:      {args.resnet_name}
+            ResNet input:     {args.resnet_input}
+            Use warper:       {args.use_warper}
+            Warp size:        {args.warp_size}
+        """)
+
+    anno_keys = args.anno_keys
+    if isinstance(anno_keys, str):
+        anno_keys = [k.strip() for k in anno_keys.split(",")]
+    val_names = args.val_names
+    if isinstance(val_names, str):
+        val_names = [v.strip() for v in val_names.split(",")]
+
+    train_loader, n_train, val_loader, n_val = prepare_dataloader(
+        img_dir=args.img_dir, mask_dir=args.mask_dir, anno_dir=args.anno_dir,
+        anno_keys=anno_keys, val_names=val_names or [],
+        mask_classes=args.mask_classes, use_uv=args.unet_uv,
+        batch_size=args.batchsize, target_size=args.target_size,
+        aug=args.aug, only_ncaam=args.only_ncaam)
+    logger.info(f"Dataset: train={n_train} val={n_val} aug={args.aug}")
+
+    if args.conf_path is not None:
+        copyfile(args.conf_path, os.path.join(args.cp_dir, "conf.yaml"))
+
+    # disable losses for missing submodules (reference train.py:428-434)
+    if args.use_unet is False:
+        args.seg_loss = None
+        args.consist_loss = None
+    if args.use_resnet is False:
+        args.rec_loss = None
+        args.reproj_loss = None
+        args.consist_loss = None
+
+    loss_cfg = LossConfig(
+        seg_loss=args.seg_loss, rec_loss=args.rec_loss,
+        reproj_loss=args.reproj_loss, consist_loss=args.consist_loss,
+        uv_loss=args.uv_loss, seg_lambda=args.seg_lambda,
+        rec_lambda=args.rec_lambda, reproj_lambda=args.reproj_lambda,
+        consist_lambda=args.consist_lambda, uv_lambda=args.uv_lambda,
+        consist_start_iter=args.consist_start_iter,
+        batch_size=args.batchsize)
+
+    state_holder = {"state": None}
+
+    def save_model(a1=None, a2=None):
+        if state_holder["state"] is not None:
+            path = os.path.join(args.cp_dir, "last.msgpack")
+            s = state_holder["state"]
+            save_checkpoint(path, {"params": s["params"],
+                                   "batch_stats": s["batch_stats"]})
+            logger.info("Saved interrupt to {}".format(path))
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, save_model)
+
+    mesh = None
+    if args.num_devices is not None and args.num_devices > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.num_devices)
+        logger.info(f"Data-parallel mesh: {mesh}")
+
+    class _TrackingLoader:
+        """Filters batches to arrays + exposes state for SIGTERM saves."""
+
+        def __init__(self, loader):
+            self.loader = loader
+
+        def __iter__(self):
+            import numpy as np
+            for batch in self.loader:
+                yield {k: v for k, v in batch.items()
+                       if isinstance(v, np.ndarray) and k not in ("valid",)}
+
+    try:
+        state = train_net(
+            model=model, variables=variables, court_img=bundle.court_img,
+            court_poi=bundle.court_poi,
+            train_loader=_TrackingLoader(train_loader), n_train=n_train,
+            val_loader=_TrackingLoader(val_loader) if n_val else None,
+            batch_size=args.batchsize, val_step_n=args.val_step_n,
+            loss_cfg=loss_cfg, opt=args.opt, epochs=args.epochs, lr=args.lr,
+            w_decay=args.weight_decay, target_size=args.target_size,
+            cp_dir=args.cp_dir, log_dir=args.log_dir, logger=logger,
+            vizualize=args.viz, mesh=mesh, state_holder=state_holder)
+        return state
+    except KeyboardInterrupt:
+        save_model()
+        try:
+            sys.exit(0)
+        except SystemExit:
+            os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Prediction-video renderer (capability twin of reference ``viz_preds.py``).
+
+Reads the ``{game}_court.json`` predictions + pickled segm-mask stream +
+source video; per frame, if the consistency score beats the threshold the
+court template is warped by the predicted theta (green score) else the
+segmentation mask is used (red score); overlays and encodes to mp4 in
+10k-frame chunks via ffmpeg.
+
+The per-frame warp runs jitted on device in batches instead of the
+reference's one-frame-at-a-time CPU kornia warps.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import shutil
+from subprocess import PIPE, run
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.assets import open_court_template
+from ..geometry.warp import warp_homography
+from ..utils.postprocess import draw_text, onehot_to_image, overlay
+
+__all__ = ["vizualize", "main", "PredictionReader", "VideoReader", "MaskReader"]
+
+
+class PredictionReader:
+    def __init__(self, path):
+        with open(path, "r") as f:
+            self.preds = json.load(f)
+        self.preds.pop("model", None)
+
+    def get(self):
+        for name, p in self.preds.items():
+            yield name, p
+
+
+class VideoReader:
+    def __init__(self, path):
+        import cv2
+
+        self.cap = cv2.VideoCapture(path)
+
+    def __len__(self):
+        import cv2
+
+        if self.cap is not None:
+            return int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        return 0
+
+    def get(self):
+        assert self.cap.isOpened()
+        f_num = 0
+        while True:
+            ret, frame = self.cap.read()
+            if ret is False:
+                break
+            yield f_num, frame
+            f_num += 1
+        self.cap.release()
+
+
+class MaskReader:
+    def __init__(self, path=None, from_preds=None):
+        assert path is not None or from_preds is not None
+        self.entries = []
+        if path is not None:
+            with open(path, "rb") as f:
+                while True:
+                    try:
+                        self.entries.append(pickle.load(f))
+                    except EOFError:
+                        break
+        else:
+            for k, _ in from_preds.get():
+                self.entries.append([k, None])
+
+    def get(self, decode=False):
+        for name, buf in self.entries:
+            if decode:
+                buf = MaskReader.decode(buf)
+            yield name, buf
+
+    @staticmethod
+    def decode(buf):
+        import cv2
+
+        return cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+
+
+def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
+              mask_classes=4, out_size=(1280, 720), fps=30,
+              score_threshold=0.1, overlay_threshold=None):
+    import cv2
+
+    chunk_size = 10000
+    out_w, out_h = out_size
+
+    preds = PredictionReader(preds_path)
+    video = VideoReader(video_path)
+    masks = MaskReader(masks_path) if masks_path is not None \
+        else MaskReader(from_preds=preds)
+    n_frames = len(video)
+
+    court_img = open_court_template(field_path, mask_classes,
+                                    (out_w, out_h), 1)
+
+    @jax.jit
+    def warp_one(theta):
+        out = warp_homography(court_img, theta, (out_h, out_w),
+                              mode="nearest")
+        return (out[..., 0] * mask_classes).astype(jnp.int32)
+
+    temp_dir = os.path.join(dst_dir, "_temp")
+    if os.path.exists(temp_dir):
+        shutil.rmtree(temp_dir)
+    os.makedirs(temp_dir)
+    chunk_list_path = os.path.join(temp_dir, "chunks.txt")
+    chunk_list_file = open(chunk_list_path, "w")
+    chunk_i, counter = 0, 0
+    dst_subdir = None
+
+    def encode_chunk():
+        nonlocal chunk_i, counter
+        dst_path = os.path.join(temp_dir, "chunk{}.mp4".format(chunk_i))
+        chunk_list_file.write("file " + dst_path + "\n")
+        cmd = ("ffmpeg -pattern_type glob -framerate {} -f image2 -i '{}*.png' {}"
+               .format(fps, dst_subdir, dst_path))
+        run(cmd, stdout=PIPE, stderr=PIPE, universal_newlines=True, shell=True)
+        shutil.rmtree(dst_subdir)
+        chunk_i += 1
+        counter = 0
+
+    for (f_num, frame), (p_name, pred), (m_name, segm_mask) in zip(
+            video.get(), preds.get(), masks.get()):
+        assert p_name == m_name and int(p_name) == f_num
+
+        if counter == 0:
+            dst_subdir = os.path.join(temp_dir, "_chunk{}/".format(chunk_i))
+            os.makedirs(dst_subdir, exist_ok=True)
+
+        score = pred["score"]
+        theta = jnp.asarray(pred["theta"], jnp.float32).reshape(1, 3, 3)
+        if score < score_threshold:
+            mask = np.asarray(warp_one(theta))[0].astype(np.uint8)
+            color = (0, 255, 0)
+        else:
+            color = (0, 0, 255)
+            mask = MaskReader.decode(segm_mask) if segm_mask is not None else None
+
+        if mask is not None:
+            mask = onehot_to_image(mask, mask_classes)[0]
+            if mask.shape[0] != out_h or mask.shape[1] != out_w:
+                mask = cv2.resize(mask, (out_w, out_h),
+                                  interpolation=cv2.INTER_NEAREST)
+
+        if mask is not None and overlay_threshold is None or \
+                (overlay_threshold is not None and score < overlay_threshold):
+            frame = overlay(frame, mask)
+        draw_text(frame, text="{:4f}".format(score), pos=(15, 15),
+                  color=color, scale=0.75)
+
+        cv2.imwrite(os.path.join(dst_subdir, p_name + ".png"), frame)
+        counter += 1
+        if counter >= chunk_size:
+            encode_chunk()
+
+    if counter != 0:
+        encode_chunk()
+    chunk_list_file.close()
+
+    dst_video_path = os.path.join(dst_dir, "output.mp4")
+    if os.path.exists(dst_video_path):
+        os.remove(dst_video_path)
+    cmd = "ffmpeg -f concat -safe 0 -i {} -c copy {}".format(
+        chunk_list_path, dst_video_path)
+    run(cmd, stdout=PIPE, stderr=PIPE, universal_newlines=True, shell=True)
+    shutil.rmtree(temp_dir)
+    print("Output video has been saved to", dst_video_path)
+    print("All done!")
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Reconstructor viz (TPU)")
+    parser.add_argument("--video_path", type=str, default=None)
+    parser.add_argument("--preds_path", type=str, default=None)
+    parser.add_argument("--dst_dir", type=str, default=None)
+    parser.add_argument("--masks_path", type=str, default=None)
+    parser.add_argument("--field_path", type=str,
+                        default="./assets/mask_ncaa_v4_nc4_m_onehot.png")
+    parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--score_threshold", type=float, default=0.17)
+    parser.add_argument("--overlay_threshold", type=float, default=None)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    vizualize(args.video_path, args.preds_path, args.dst_dir, args.field_path,
+              args.masks_path, fps=args.fps,
+              score_threshold=args.score_threshold,
+              overlay_threshold=args.overlay_threshold)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,7 +93,7 @@ def preprocess_poi(np_poi: np.ndarray):
     anno = np.asarray(np_poi, dtype=np.float32)
     nonzeros = anno[:, 2]
     poi = anno[:, :2]
-    num_nonzero = np.count_nonzero(nonzeros).astype(np.float32)
+    num_nonzero = np.float32(np.count_nonzero(nonzeros))
     return poi, nonzeros, num_nonzero
 
 

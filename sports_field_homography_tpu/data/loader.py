@@ -1,0 +1,159 @@
+"""Host input pipeline: threaded decode, static-shape batching, prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=8,
+pin_memory=True)`` (``train.py:33-36``) with a TPU-appropriate design:
+
+  * decode/augment in a thread pool (PIL/cv2 release the GIL on the hot
+    paths), preserving sample order;
+  * batches are padded to a *static* batch size — XLA compiles one program
+    per shape, so the tail batch is padded with replicas and carries a
+    ``valid`` mask + true count instead of a different shape;
+  * ``device_prefetch`` overlaps H2D transfer with device compute by
+    keeping ``depth`` batches in flight (the host pipeline analog of the
+    reference's 3-process predict pipeline, ``predict.py:45-122``).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["Loader", "device_prefetch"]
+
+_ARRAY_KEYS = ("image", "mask", "uv", "poi", "nonzeros", "num_nonzero",
+               "weight", "orig_img")
+
+
+def _collate(samples) -> Dict[str, object]:
+    batch: Dict[str, object] = {}
+    keys = samples[0].keys()
+    for k in keys:
+        vals = [s[k] for s in samples]
+        if k in _ARRAY_KEYS:
+            batch[k] = np.stack([np.asarray(v) for v in vals], axis=0)
+        else:
+            batch[k] = vals          # e.g. 'name': list of str
+    return batch
+
+
+class Loader:
+    """Ordered, optionally shuffled, padded-batch loader.
+
+    Yields dicts of stacked numpy arrays plus:
+      * ``valid``: (B,) bool — False on padding replicas of the tail batch;
+      * ``num_valid``: int — true sample count.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 8, drop_last: bool = False,
+                 pad_last: bool = True, seed: Optional[int] = None,
+                 prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.num_workers = max(1, int(num_workers))
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.prefetch_batches = prefetch_batches
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, object]]:
+        order = self._index_order()
+        bs = self.batch_size
+        n = len(order)
+
+        def batches_of_indices():
+            for start in range(0, n, bs):
+                idx = order[start:start + bs]
+                if len(idx) < bs and self.drop_last:
+                    return
+                yield idx
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for idx in batches_of_indices():
+                        if stop.is_set():
+                            break
+                        if self.num_workers > 1:
+                            samples = list(ex.map(self.dataset.__getitem__, idx))
+                        else:
+                            samples = [self.dataset[i] for i in idx]
+                        num_valid = len(samples)
+                        if num_valid < bs and self.pad_last:
+                            samples = samples + [samples[-1]] * (bs - num_valid)
+                        batch = _collate(samples)
+                        batch["valid"] = np.arange(len(samples)) < num_valid
+                        batch["num_valid"] = num_valid
+                        out_q.put(batch)
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, depth: int = 2, sharding=None, keys=("image",)):
+    """Overlap host->device transfer with device compute.
+
+    Eagerly ``jax.device_put``s the arrays named in ``keys`` for up to
+    ``depth`` upcoming batches (optionally with a ``Sharding`` for
+    multi-chip data parallelism) while the caller consumes the current one.
+    """
+    import collections
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        if batch is None:
+            return None
+        for k in keys:
+            if k in batch and isinstance(batch[k], np.ndarray):
+                batch[k] = (jax.device_put(batch[k], sharding) if sharding is not None
+                            else jax.device_put(batch[k]))
+        return batch
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

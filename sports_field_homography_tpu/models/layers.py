@@ -64,12 +64,18 @@ class BatchNorm(nn.Module):
 
     Parameters live in f32 regardless of compute dtype; normalization is
     performed in f32 then cast back (bf16-safe).
+
+    ``axis_name``: when set (running under shard_map data parallelism),
+    batch statistics are pmean-reduced across that mesh axis — cross-replica
+    ("sync") BatchNorm.  A DP step then matches the single-device step on
+    the same global batch exactly, instead of normalizing per-shard.
     """
 
     features: int
     eps: float = 1e-5
     momentum: float = 0.1      # torch convention: weight of the new batch stat
     dtype: Any = jnp.float32
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -83,8 +89,13 @@ class BatchNorm(nn.Module):
         if train:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
             n = x.shape[0] * x.shape[1] * x.shape[2]
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = mean_sq - jnp.square(mean)
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
                 m = self.momentum

@@ -34,8 +34,14 @@ def cross_entropy_map(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """
     logits = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, labels[..., None].astype(jnp.int32),
-                                 axis=-1)[..., 0]
+    if logits.shape[-1] <= 16:
+        # one-hot multiply-sum: gathers along the minor (lane) dim are very
+        # slow on TPU (measured 166 ms vs ~2 ms for a 32x360x640x4 batch)
+        one_hot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+        picked = jnp.sum(logits * one_hot, axis=-1)
+    else:
+        picked = jnp.take_along_axis(
+            logits, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     return lse - picked
 
 

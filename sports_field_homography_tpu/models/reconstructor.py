@@ -97,16 +97,19 @@ class ReconstructorConfig:
 class Reconstructor(nn.Module):
     config: ReconstructorConfig
     dtype: Any = jnp.float32
+    # mesh axis for cross-replica (sync) BatchNorm under shard_map DP
+    bn_axis_name: Any = None
 
     def setup(self):
         cfg = self.config
         if cfg.use_unet:
             self.unet = UNet(mask_classes=cfg.mask_classes,
                              bilinear=cfg.unet_bilinear, uv=cfg.unet_uv,
-                             dtype=self.dtype)
+                             dtype=self.dtype, axis_name=self.bn_axis_name)
         if cfg.use_resnet:
             spec = resnet_models[cfg.resnet_name]
-            self.resnet_reg = ResNetSTN(dtype=self.dtype, **spec)
+            self.resnet_reg = ResNetSTN(dtype=self.dtype,
+                                        axis_name=self.bn_axis_name, **spec)
 
     # ---- submodule forwards -------------------------------------------------
 

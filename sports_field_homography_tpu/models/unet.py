@@ -34,6 +34,7 @@ class DoubleConv(nn.Module):
     out_channels: int
     mid_channels: Optional[int] = None
     dtype: Any = jnp.float32
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -42,12 +43,14 @@ class DoubleConv(nn.Module):
         x = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=torch_conv_kernel_init,
                     bias_init=torch_bias_init(9 * in_ch), name="conv1")(x)
-        x = BatchNorm(mid, dtype=self.dtype, name="bn1")(x, train)
+        x = BatchNorm(mid, dtype=self.dtype, axis_name=self.axis_name,
+                      name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=torch_conv_kernel_init,
                     bias_init=torch_bias_init(9 * mid), name="conv2")(x)
-        x = BatchNorm(self.out_channels, dtype=self.dtype, name="bn2")(x, train)
+        x = BatchNorm(self.out_channels, dtype=self.dtype,
+                      axis_name=self.axis_name, name="bn2")(x, train)
         return nn.relu(x)
 
 
@@ -56,11 +59,13 @@ class Down(nn.Module):
 
     out_channels: int
     dtype: Any = jnp.float32
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = max_pool(x, 2, 2)
-        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train)
+        return DoubleConv(self.out_channels, dtype=self.dtype,
+                          axis_name=self.axis_name, name="conv")(x, train)
 
 
 class Deconv2x(nn.Module):
@@ -95,6 +100,7 @@ class Up(nn.Module):
     out_channels: int
     bilinear: bool = False
     dtype: Any = jnp.float32
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -115,8 +121,10 @@ class Up(nn.Module):
         x = jnp.concatenate([x2, x1], axis=-1)
         if self.bilinear:
             return DoubleConv(self.out_channels, mid_channels=x.shape[-1] // 2,
-                              dtype=self.dtype, name="conv")(x, train)
-        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train)
+                              dtype=self.dtype, axis_name=self.axis_name,
+                              name="conv")(x, train)
+        return DoubleConv(self.out_channels, dtype=self.dtype,
+                          axis_name=self.axis_name, name="conv")(x, train)
 
 
 class OutConv(nn.Module):
@@ -144,19 +152,29 @@ class UNet(nn.Module):
     bilinear: bool = False
     uv: bool = False
     dtype: Any = jnp.float32
+    axis_name: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(64, dtype=self.dtype, name="inc")(x, train)
-        x2 = Down(128, dtype=self.dtype, name="down1")(x1, train)
-        x3 = Down(256, dtype=self.dtype, name="down2")(x2, train)
-        x4 = Down(512, dtype=self.dtype, name="down3")(x3, train)
-        x_top = Down(1024 // factor, dtype=self.dtype, name="down4")(x4, train)
-        y = Up(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(x_top, x4, train)
-        y = Up(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(y, x3, train)
-        y = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(y, x2, train)
-        y = Up(64, self.bilinear, dtype=self.dtype, name="up4")(y, x1, train)
+        x1 = DoubleConv(64, dtype=self.dtype, axis_name=self.axis_name,
+                        name="inc")(x, train)
+        x2 = Down(128, dtype=self.dtype, axis_name=self.axis_name,
+                     name="down1")(x1, train)
+        x3 = Down(256, dtype=self.dtype, axis_name=self.axis_name,
+                     name="down2")(x2, train)
+        x4 = Down(512, dtype=self.dtype, axis_name=self.axis_name,
+                     name="down3")(x3, train)
+        x_top = Down(1024 // factor, dtype=self.dtype,
+                     axis_name=self.axis_name, name="down4")(x4, train)
+        y = Up(512 // factor, self.bilinear, dtype=self.dtype,
+               axis_name=self.axis_name, name="up1")(x_top, x4, train)
+        y = Up(256 // factor, self.bilinear, dtype=self.dtype,
+               axis_name=self.axis_name, name="up2")(y, x3, train)
+        y = Up(128 // factor, self.bilinear, dtype=self.dtype,
+               axis_name=self.axis_name, name="up3")(y, x2, train)
+        y = Up(64, self.bilinear, dtype=self.dtype,
+               axis_name=self.axis_name, name="up4")(y, x1, train)
         logits = OutConv(self.mask_classes, dtype=self.dtype, name="outc")(y)
         uv = OutConv(2, dtype=self.dtype, name="outuv")(y) if self.uv else None
         return logits, x_top, uv

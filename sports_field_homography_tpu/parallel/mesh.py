@@ -1,0 +1,108 @@
+"""Multi-chip scale-out: device meshes, data-parallel and spatial sharding.
+
+The reference is strictly single-GPU (SURVEY §2: no torch.distributed /
+NCCL anywhere).  This module is the TPU-native scaling layer that replaces
+what the reference never had:
+
+  * **DP (data parallel)** — 1-D ``data`` axis.  The train step runs under
+    ``jax.shard_map``: each chip computes grads on its batch shard and
+    all-reduces them over ICI with ``psum`` (see ``loop.make_train_step``'s
+    ``axis_name`` path).  Inference shards the batch with a jit
+    in_sharding and needs no collectives at all.
+  * **SP (spatial partitioning)** — 2-D ``(data, spatial)`` mesh.  This
+    CNN has no sequence axis; its long-context analog is the image height.
+    Annotating activations as ``P('data', 'spatial')`` lets XLA's SPMD
+    partitioner shard H across chips and insert conv halo exchanges
+    automatically — the idiomatic XLA route (do not hand-schedule halos).
+  * TP/PP/EP are intentionally out of scope for this <100M-param CNN
+    (SURVEY §2 parallelism table): activations, not weights, dominate
+    memory, so DP x SP covers the useful scaling space.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_train_step",
+           "shard_predict_fn", "spatial_forward_fn"]
+
+
+def make_mesh(num_devices: Optional[int] = None, spatial: int = 1) -> Mesh:
+    """Build a (data, spatial) mesh over the first ``num_devices`` devices."""
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    assert n % spatial == 0, (n, spatial)
+    arr = np.array(devices[:n]).reshape(n // spatial, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_train_step(step_fn, mesh: Mesh):
+    """Wrap a train step (built with ``axis_name='data'``) in shard_map.
+
+    State is replicated; every batch array is sharded on its leading
+    (batch) dimension.  Gradients are psum-averaged inside ``step_fn``, so
+    the returned state stays replica-identical.
+    """
+
+    def wrapped(state, batch):
+        batch_specs = {k: P("data") for k in batch}
+        f = jax.shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(P(), batch_specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return f(state, batch)
+
+    return jax.jit(wrapped)
+
+
+def shard_predict_fn(model, variables_sharding_mesh, court_img, court_poi,
+                     consistency: bool, project_poi: bool):
+    """Batch-sharded inference: each chip predicts its batch shard.
+
+    Pure data parallelism — no collectives; XLA splits the program by the
+    input sharding alone.
+    """
+    mesh = variables_sharding_mesh
+    in_s = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fn(variables, x):
+        x = jax.lax.with_sharding_constraint(x, in_s)
+        return model.apply(variables, x, court_img, court_poi,
+                           consistency=consistency, project_poi=project_poi,
+                           method=model.predict)
+
+    return fn, in_s, repl
+
+
+def spatial_forward_fn(model, mesh: Mesh, court_img, court_poi,
+                       train: bool = False):
+    """Forward with activations sharded over (data, spatial) = (B, H).
+
+    XLA's SPMD partitioner inserts the conv halo exchanges; we only
+    annotate the desired layout on the input and let the compiler
+    propagate it through the UNet/ResNet.
+    """
+    x_sharding = NamedSharding(mesh, P("data", "spatial"))
+
+    @jax.jit
+    def fn(variables, x):
+        x = jax.lax.with_sharding_constraint(x, x_sharding)
+        return model.apply(variables, x, court_img, court_poi, train=train)
+
+    return fn

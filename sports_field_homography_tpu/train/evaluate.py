@@ -1,0 +1,135 @@
+"""Validation metrics for the Reconstructor (reference ``eval.py:142-233``).
+
+One jitted metric function computes every score for a batch; the host loop
+accumulates.  Returned keys match the reference: val_seg_score,
+val_rec_score, val_uv_score, val_reproj_score, val_reproj_px,
+val_consist_score, plus last-batch tensors for visualization.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.losses import (
+    cross_entropy_map,
+    mse_map,
+    per_sample_weighted,
+    reprojection_loss,
+)
+
+__all__ = ["make_eval_step", "eval_reconstructor"]
+
+
+def make_eval_step(model, court_img, court_poi, target_size,
+                   use_per_sample_weights: bool = True):
+    """Build the jitted per-batch metric function.
+
+    ``target_size`` is (W, H): reprojection px scales normalized [0,1]
+    PoI coordinates by the frame size (reference ``eval.py:208-215``).
+    """
+    tw, th = target_size
+    mask_classes = model.config.mask_classes
+    unet_uv = model.config.unet_uv
+
+    @jax.jit
+    def step(variables, batch) -> Dict[str, jnp.ndarray]:
+        preds = model.apply(variables, batch["image"], court_img, court_poi,
+                            train=False)
+        out: Dict[str, jnp.ndarray] = {}
+        logits = preds.get("logits")
+        warp_masks = preds.get("warp_mask")
+        uv = preds.get("uv")
+
+        gt_masks_i = batch["mask"].astype(jnp.int32)
+        gt_masks_f = gt_masks_i.astype(jnp.float32) / float(mask_classes)
+
+        if use_per_sample_weights:
+            w = batch["weight"]
+            if logits is not None:
+                out["seg"] = per_sample_weighted(
+                    cross_entropy_map(logits, gt_masks_i), w)
+            if warp_masks is not None:
+                out["rec"] = per_sample_weighted(
+                    mse_map(warp_masks, gt_masks_f), w)
+            if uv is not None and unet_uv:
+                out["uv"] = per_sample_weighted(mse_map(uv, batch["uv"]), w)
+        else:
+            if logits is not None:
+                out["seg"] = jnp.mean(cross_entropy_map(logits, gt_masks_i))
+            if warp_masks is not None:
+                out["rec"] = jnp.mean(mse_map(warp_masks, gt_masks_f))
+            if uv is not None and unet_uv:
+                out["uv"] = jnp.mean(mse_map(uv, batch["uv"]))
+
+        if logits is not None and warp_masks is not None:
+            warp_i = (warp_masks * mask_classes).astype(jnp.int32)
+            out["consist"] = jnp.mean(cross_entropy_map(logits, warp_i))
+
+        if "poi" in preds and "poi" in batch:
+            poi = preds["poi"]
+            gt_poi = batch["poi"].astype(jnp.float32)
+            nz = batch["nonzeros"].astype(jnp.float32)
+            nn = batch["num_nonzero"].astype(jnp.float32)
+            out["reproj_sum"] = reprojection_loss(poi, gt_poi, nz, nn, "sum")
+            scale = jnp.asarray([tw, th], jnp.float32)
+            out["reproj_px_sum"] = reprojection_loss(
+                poi * scale, gt_poi * scale, nz, nn, "sum")
+
+        out["_logits"] = logits if logits is not None else jnp.zeros(())
+        out["_warp"] = warp_masks if warp_masks is not None else jnp.zeros(())
+        out["_uv"] = uv if uv is not None else jnp.zeros(())
+        return out
+
+    return step
+
+
+def eval_reconstructor(model, variables, loader, court_img, court_poi,
+                       target_size, use_per_sample_weights: bool = True,
+                       eval_step=None) -> Dict[str, object]:
+    """Run validation over a loader (reference ``eval_reconstructor``)."""
+    if eval_step is None:
+        eval_step = make_eval_step(model, court_img, court_poi, target_size,
+                                   use_per_sample_weights)
+    sums = {"seg": 0.0, "rec": 0.0, "uv": 0.0, "consist": 0.0,
+            "reproj_sum": 0.0, "reproj_px_sum": 0.0}
+    n_batches = 0
+    counter = 0
+    last = None
+    last_imgs = None
+    for batch in loader:
+        nv = batch.get("num_valid", len(batch["image"]))
+        out = eval_step(variables, batch)
+        # padded tail replicas slightly perturb batch-mean metrics; the
+        # reference instead drops the tail (drop_last=True on val) — we
+        # count padded batches the same way for score parity when the val
+        # set divides evenly, and accept the tail approximation otherwise.
+        for k in sums:
+            if k in out:
+                sums[k] += float(out[k])
+        counter += int(nv)
+        n_batches += 1
+        last, last_imgs = out, batch["image"]
+
+    n = max(n_batches, 1)
+    c = max(counter, 1)
+    result = {
+        "val_seg_score": sums["seg"] / n,
+        "val_rec_score": sums["rec"] / n,
+        "val_uv_score": sums["uv"] / n,
+        "val_reproj_score": sums["reproj_sum"] / c,
+        "val_reproj_px": sums["reproj_px_sum"] / c,
+        "val_consist_score": sums["consist"] / n,
+    }
+    if last is not None:
+        result["imgs"] = np.asarray(last_imgs)
+        if np.ndim(last["_logits"]):
+            result["logits"] = np.asarray(last["_logits"])
+        if np.ndim(last["_warp"]):
+            result["warp_masks"] = np.asarray(last["_warp"])
+        if np.ndim(last["_uv"]):
+            result["uv_masks"] = np.asarray(last["_uv"])
+    return result

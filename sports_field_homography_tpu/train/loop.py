@@ -1,0 +1,303 @@
+"""Training loop: jitted multi-loss step + host orchestration.
+
+Capability twin of reference ``train_net`` (``train.py:43-325``) with the
+TPU shape: one jitted ``train_step`` computes the forward, all enabled
+losses, gradients, value-clipped optimizer update and BN running-stat
+updates in a single XLA program.  Loss selection is static (compiled in);
+the consistency-loss warmup gate (``consist_start_iter``) is a cheap
+runtime multiplier so it doesn't retrigger compilation.
+
+Data parallelism: when ``mesh`` is provided the step is wrapped with
+``shard_map`` over a 1-D ``data`` axis — batch sharded across chips,
+gradients/metrics all-reduced over ICI with ``psum`` (the TPU-native
+replacement for the reference's absent torch.distributed).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.losses import (
+    cross_entropy_map,
+    focal_loss_map,
+    mse_map,
+    per_sample_weighted,
+    reprojection_loss,
+    smooth_l1_map,
+)
+from ..utils.checkpoint import save_checkpoint
+from .evaluate import eval_reconstructor, make_eval_step
+from .optim import ReduceLROnPlateau, current_learning_rate, make_optimizer, set_learning_rate
+
+__all__ = ["TrainState", "LossConfig", "make_train_step", "train_net"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Static loss selection + lambdas (reference ``train.py:100-144``)."""
+
+    seg_loss: Optional[str] = "CE"          # CE | focal | None
+    rec_loss: Optional[str] = "MSE"         # MSE | SmoothL1 | None
+    reproj_loss: Optional[str] = None       # RRMSE | None
+    consist_loss: Optional[str] = None      # CE | focal | None
+    uv_loss: Optional[str] = None           # MSE | SmoothL1 | None
+    seg_lambda: float = 2.0
+    rec_lambda: float = 2.0
+    reproj_lambda: float = 8.0
+    consist_lambda: float = 1.0
+    uv_lambda: float = 2.0
+    consist_start_iter: int = 0
+    batch_size: int = 8
+
+
+class TrainState(dict):
+    """Lightweight pytree train state (dict-backed for easy serialization)."""
+
+
+def init_train_state(variables, optimizer) -> Dict[str, Any]:
+    return {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": optimizer.init(variables["params"]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _elementwise(loss_name):
+    return {"MSE": mse_map, "SmoothL1": smooth_l1_map}[loss_name]
+
+
+def make_train_step(model, optimizer, loss_cfg: LossConfig, court_img,
+                    court_poi, axis_name: Optional[str] = None):
+    """Build the jitted (or shard_map-able) train step.
+
+    Returns ``step(state, batch) -> (state, logs)`` where logs mirrors the
+    reference's TB scalars (Seg/Rec/UV/Reproj/Cons/Tot losses).
+    """
+    num_classes = model.config.mask_classes
+
+    def loss_fn(params, batch_stats, batch, step_no):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.apply(variables, batch["image"], court_img,
+                                     court_poi, train=True,
+                                     mutable=["batch_stats"])
+        logs = {}
+        total = jnp.zeros((), jnp.float32)
+        weights = batch["weight"]
+
+        if loss_cfg.seg_loss is not None:
+            m = (cross_entropy_map if loss_cfg.seg_loss == "CE"
+                 else focal_loss_map)(preds["logits"],
+                                      batch["mask"].astype(jnp.int32))
+            seg = per_sample_weighted(m, weights) * loss_cfg.seg_lambda
+            total += seg
+            logs["Seg_loss"] = seg
+
+        if loss_cfg.rec_loss is not None:
+            gt_f = batch["mask"].astype(jnp.float32) / float(num_classes)
+            m = _elementwise(loss_cfg.rec_loss)(preds["warp_mask"], gt_f)
+            rec = per_sample_weighted(m, weights) * loss_cfg.rec_lambda
+            total += rec
+            logs["Rec_loss"] = rec
+
+        if loss_cfg.uv_loss is not None and model.config.unet_uv:
+            m = _elementwise(loss_cfg.uv_loss)(preds["uv"], batch["uv"])
+            uvl = per_sample_weighted(m, weights) * loss_cfg.uv_lambda
+            total += uvl
+            logs["UV_loss"] = uvl
+
+        if loss_cfg.reproj_loss is not None:
+            rl = reprojection_loss(
+                preds["poi"], batch["poi"].astype(jnp.float32),
+                batch["nonzeros"].astype(jnp.float32),
+                batch["num_nonzero"].astype(jnp.float32),
+            ) * loss_cfg.reproj_lambda
+            total += rl
+            logs["Reproj_loss"] = rl
+
+        if loss_cfg.consist_loss is not None:
+            labels = (preds["warp_mask"] * num_classes).astype(jnp.int32)
+            m = (cross_entropy_map if loss_cfg.consist_loss == "CE"
+                 else focal_loss_map)(preds["logits"], labels)
+            # warmup gate (reference train.py:219-220), runtime multiplier
+            gate = (step_no * loss_cfg.batch_size
+                    >= loss_cfg.consist_start_iter).astype(jnp.float32)
+            cl = jnp.mean(m) * loss_cfg.consist_lambda * gate
+            total += cl
+            logs["Cons_loss"] = cl
+
+        logs["Tot_loss"] = total
+        return total, (mutated["batch_stats"], logs)
+
+    def step(state, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, logs)), grads = grad_fn(
+            state["params"], state["batch_stats"], batch, state["step"])
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            logs = jax.lax.pmean(logs, axis_name)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "batch_stats": new_bs,
+                     "opt_state": opt_state, "step": state["step"] + 1}
+        return new_state, logs
+
+    return step
+
+
+def train_net(model, variables, court_img, court_poi, train_loader, n_train,
+              val_loader, batch_size, val_step_n, loss_cfg: LossConfig,
+              opt="RMSprop", epochs=5, lr=1e-4, w_decay=1e-8,
+              target_size=(1280, 720), cp_dir=None, log_dir=None, logger=None,
+              vizualize=False, mesh=None, state_holder=None):
+    """Host-side training orchestration (reference ``train_net``)."""
+    import logging
+    if logger is None:
+        logger = logging
+
+    val_step_n = val_step_n if val_step_n is not None else int(n_train / batch_size) + 1
+
+    logger.info(f"""# Starting training:
+            Optimizer:       {opt}
+            Epochs:          {epochs}
+            Val step:        {val_step_n}
+            Batch size:      {batch_size}
+            Learning rate:   {lr}
+            Weight decay:    {w_decay}
+            Losses:          seg={loss_cfg.seg_loss} rec={loss_cfg.rec_loss} \
+reproj={loss_cfg.reproj_loss} consist={loss_cfg.consist_loss} uv={loss_cfg.uv_loss}
+            Lambdas:         seg={loss_cfg.seg_lambda} rec={loss_cfg.rec_lambda} \
+reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.uv_lambda}
+            Cons start iter: {loss_cfg.consist_start_iter}
+            Checkpoints dir: {cp_dir}
+            Log dir:         {log_dir}
+            Devices:         {jax.devices()}
+    """)
+
+    writer = None
+    if log_dir is not None:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            logger.info("tensorboardX unavailable; TB logging disabled")
+
+    optimizer = make_optimizer(opt, lr, w_decay, grad_clip_value=0.1)
+    state = init_train_state(variables, optimizer)
+    scheduler = ReduceLROnPlateau(lr, patience=3)
+
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_step
+        # cross-replica BN: per-shard batch stats pmean-reduced over 'data'
+        dp_model = model.clone(bn_axis_name="data")
+        step_fn = shard_train_step(
+            make_train_step(dp_model, optimizer, loss_cfg, court_img, court_poi,
+                            axis_name="data"), mesh)
+    else:
+        step_fn = jax.jit(
+            make_train_step(model, optimizer, loss_cfg, court_img, court_poi))
+
+    eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
+
+    global_step = 0
+    for epoch in range(epochs):
+        epoch_loss = 0.0
+        t0 = time.time()
+        for batch in train_loader:
+            state, logs = step_fn(state, batch)
+            global_step += 1
+            if state_holder is not None:   # expose for SIGTERM interrupt save
+                state_holder["state"] = state
+
+            if writer is not None:
+                for k, v in logs.items():
+                    tag = {"Seg_loss": "Loss/train seg", "Rec_loss": "Loss/train rec",
+                           "UV_loss": "Loss/train uv", "Reproj_loss": "Loss/train reproj",
+                           "Cons_loss": "Loss/train consistency",
+                           "Tot_loss": "Loss/train"}[k]
+                    writer.add_scalar(tag, float(v), global_step)
+            epoch_loss += float(logs["Tot_loss"])
+
+            if global_step % val_step_n == 0 and val_loader is not None:
+                print("\nStarting validation...")
+                if writer is not None:
+                    for path, value in jax.tree_util.tree_flatten_with_path(
+                            state["params"])[0]:
+                        t = "/".join(str(getattr(p, "key", p)) for p in path)
+                        writer.add_histogram("weights/" + t, np.asarray(value),
+                                             global_step)
+                result = eval_reconstructor(
+                    model, {"params": state["params"],
+                            "batch_stats": state["batch_stats"]},
+                    val_loader, court_img, court_poi, target_size,
+                    use_per_sample_weights=True, eval_step=eval_step)
+                val_tot = (result["val_seg_score"] + result["val_rec_score"]
+                           + result["val_reproj_score"]
+                           + result["val_consist_score"] + result["val_uv_score"])
+                new_lr = scheduler.step(result["val_reproj_px"])
+                if new_lr != current_learning_rate(state["opt_state"]):
+                    state["opt_state"] = set_learning_rate(state["opt_state"], new_lr)
+                    logger.info("Learning rate has been changed: {}".format(new_lr))
+                if writer is not None:
+                    writer.add_scalar("learning_rate", new_lr, global_step)
+                    writer.add_scalar("Loss/test", val_tot, global_step)
+                    writer.add_scalar("Loss/test_seg", result["val_seg_score"], global_step)
+                    writer.add_scalar("Loss/test_rec", result["val_rec_score"], global_step)
+                    writer.add_scalar("Loss/test_uv", result["val_uv_score"], global_step)
+                    writer.add_scalar("Loss/test_reproj", result["val_reproj_px"], global_step)
+                    writer.add_scalar("Loss/test_consist", result["val_consist_score"], global_step)
+                logger.info(
+                    "[Validation, epoch: {} of {}, step: {}] Tot: {}, seg: {}, "
+                    "rec: {}, uv: {}, reproj: {}({:.3f})px, cons: {}".format(
+                        epoch + 1, epochs, global_step, val_tot,
+                        result["val_seg_score"], result["val_rec_score"],
+                        result["val_uv_score"], result["val_reproj_score"],
+                        result["val_reproj_px"], result["val_consist_score"]))
+                if vizualize and writer is not None:
+                    _tb_images(writer, result, model.config.mask_classes,
+                               global_step)
+
+        logger.info("Epoch {} done in {:.1f}s, loss {:.4f}".format(
+            epoch + 1, time.time() - t0, epoch_loss))
+
+        if cp_dir is not None:
+            os.makedirs(cp_dir, exist_ok=True)
+            path = os.path.join(cp_dir, f"CP_epoch{epoch + 1}.msgpack")
+            save_checkpoint(path, {"params": state["params"],
+                                   "batch_stats": state["batch_stats"]})
+            logger.info(f"Checkpoint {epoch + 1} saved !")
+
+    if writer is not None:
+        writer.close()
+    return state
+
+
+def _tb_images(writer, result, num_classes, global_step):
+    """Validation image panel (reference ``train.py:282-312``), NHWC->NCHW."""
+    from ..utils.postprocess import preds_to_masks, onehot_to_image
+
+    output = [np.transpose(result["imgs"], (0, 3, 1, 2))]
+    if "logits" in result:
+        pred_masks = preds_to_masks(result["logits"], num_classes)
+        pred_masks = onehot_to_image(pred_masks, num_classes)[..., ::-1]
+        output.append(np.transpose(pred_masks, (0, 3, 1, 2)).astype(np.float32) / 255.0)
+    if "warp_masks" in result:
+        warp = (result["warp_masks"] * num_classes).astype(np.uint8)
+        warp = onehot_to_image(warp, num_classes)[..., ::-1]
+        output.append(np.transpose(warp, (0, 3, 1, 2)).astype(np.float32) / 255.0)
+    if "uv_masks" in result:
+        uvm = np.transpose(result["uv_masks"], (0, 3, 1, 2)).astype(np.float32)
+        z = np.zeros((uvm.shape[0], 1, uvm.shape[-2], uvm.shape[-1]), np.float32)
+        output.append(np.concatenate((uvm, z), axis=1))
+    writer.add_images("output", np.concatenate(output, axis=2), global_step)

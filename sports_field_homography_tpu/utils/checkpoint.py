@@ -1,0 +1,66 @@
+"""Checkpoint I/O: msgpack (flax), orbax directories, and reference .pth.
+
+The reference saves per-epoch ``CP_epoch{n}.pth`` state_dicts plus an
+interrupt ``last.pth`` (``train.py:314-323, 437-442``).  This framework's
+native formats are:
+
+  * ``*.msgpack`` — single-file flax serialization (fast, portable); the
+    train loop writes ``CP_epoch{n}.msgpack`` keeping the reference's
+    naming scheme;
+  * an orbax checkpoint directory — for async, sharded, multi-host saves;
+  * ``*.pth`` — read-only import of reference PyTorch checkpoints via
+    ``compat.torch_import`` (layout conversion done at load).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+
+def save_checkpoint(path: str, variables: Dict[str, Any]) -> None:
+    """Save model variables; format chosen by path (.msgpack or orbax dir)."""
+    if path.endswith(".msgpack"):
+        from flax import serialization
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(variables))
+        return
+    # orbax directory
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree.map(lambda x: x, variables), force=True)
+
+
+def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None,
+                    unet_bilinear: bool = False) -> Dict[str, Any]:
+    """Load model variables from .msgpack / orbax dir / reference .pth.
+
+    ``target`` (a template pytree, e.g. from ``model.init``) is required
+    for msgpack and recommended for orbax; .pth import is self-describing.
+    """
+    if path.endswith(".pth"):
+        from ..compat.torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(path, unet_bilinear=unet_bilinear)
+    if path.endswith(".msgpack"):
+        from flax import serialization
+
+        assert target is not None, "msgpack load needs a target pytree"
+        with open(path, "rb") as f:
+            return serialization.from_bytes(target, f.read())
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            import jax
+
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+            return ckptr.restore(path, abstract)
+        return ckptr.restore(path)

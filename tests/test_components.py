@@ -1,0 +1,238 @@
+"""Tests for augmentation, prep utilities, postprocess, viz_metrics,
+legacy models and the video dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+class TestAugmentation:
+    def make_pipe(self, aug, use_uv=False, size=(64, 36)):
+        from sports_field_homography_tpu.data.augmentation import AugmentationPipeline
+        return AugmentationPipeline(aug, size, use_uv=use_uv)
+
+    def test_hflip_consistency_img_mask_uv_poi(self):
+        """One flip decision applies to every stream coherently."""
+        rng = np.random.RandomState(0)
+        img = rng.rand(36, 64, 3).astype(np.float32)
+        mask = rng.randint(0, 4, (36, 64)).astype(np.int64)
+        uv = rng.rand(36, 64, 2).astype(np.float32)
+        uv[..., 0] = np.clip(uv[..., 0], 0.01, 1.0)   # court pixels everywhere
+        poi = rng.rand(52, 2).astype(np.float32)
+        nz = np.ones(52, np.float32)
+        pipe = self.make_pipe({"geometric": {"hflip": 1.0}}, use_uv=True)
+        img2, mask2, uv2, poi2, nz2 = pipe(img, mask, uv, poi, nz, seed=1)
+        np.testing.assert_array_equal(img2, img[:, ::-1])
+        np.testing.assert_array_equal(mask2, mask[:, ::-1])
+        # u channel flipped then inverted on court pixels
+        np.testing.assert_allclose(uv2[..., 0], 1.0 - uv[:, ::-1, 0], atol=1e-6)
+        np.testing.assert_array_equal(uv2[..., 1], uv[:, ::-1, 1])
+        # PoI mirrored through the NCAA symmetry mapping
+        from sports_field_homography_tpu.data.augmentation import ncaa_poi_flip_mapping
+        m = ncaa_poi_flip_mapping()
+        for i in range(len(m)):
+            assert poi2[i, 0] == pytest.approx(1.0 - poi[m[i], 0])
+            assert poi2[i, 1] == pytest.approx(poi[m[i], 1])
+
+    def test_hflip_probability_zero_is_identity(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(36, 64, 3).astype(np.float32)
+        mask = rng.randint(0, 4, (36, 64)).astype(np.int64)
+        pipe = self.make_pipe({"geometric": {"hflip": 0.0}})
+        img2, mask2, _, _, _ = pipe(img, mask, None, None, None, seed=3)
+        np.testing.assert_array_equal(img2, img)
+
+    def test_random_resized_crop_shapes_and_label_preservation(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(72, 128, 3).astype(np.float32)
+        mask = rng.randint(0, 4, (72, 128)).astype(np.int64)
+        pipe = self.make_pipe({"geometric": {"scale": [0.5, 1.0], "hflip": 0.5}})
+        img2, mask2, _, _, _ = pipe(img, mask, None, None, None, seed=7)
+        assert img2.shape == (36, 64, 3)
+        assert mask2.shape == (36, 64)
+        assert set(np.unique(mask2)).issubset({0, 1, 2, 3})
+        assert mask2.dtype == np.int64
+
+    def test_poi_with_scale_raises(self):
+        """Reference parity: points transforms don't support 'scale'."""
+        pipe = self.make_pipe({"geometric": {"scale": [0.5, 1.0]}})
+        poi = np.zeros((52, 2), np.float32)
+        with pytest.raises(AssertionError):
+            pipe(np.zeros((72, 128, 3), np.float32), None, None, poi,
+                 np.ones(52, np.float32), seed=0)
+
+    def test_appearance_changes_image_but_not_geometry(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(36, 64, 3).astype(np.float32)
+        pipe = self.make_pipe({"apperance": {"jitter": {"brightness": 0.35,
+                                                        "contrast": 0.35,
+                                                        "saturation": 0.25,
+                                                        "hue": 0.25},
+                                             "blur": 5}})
+        img2, _, _, _, _ = pipe(img, None, None, None, None, seed=11)
+        assert img2.shape == img.shape
+        assert not np.allclose(img2, img)
+        assert img2.min() >= 0.0 and img2.max() <= 1.0
+
+    def test_deterministic_given_seed(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(36, 64, 3).astype(np.float32)
+        pipe = self.make_pipe({"apperance": {"jitter": {}},
+                               "geometric": {"hflip": 0.5}})
+        a, _, _, _, _ = pipe(img, None, None, None, None, seed=5)
+        b, _, _, _, _ = pipe(img, None, None, None, None, seed=5)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestPrep:
+    def test_dlt_matches_cv2_findHomography(self):
+        import cv2
+        from sports_field_homography_tpu.prep.preparation import find_homography_dlt
+
+        rng = np.random.RandomState(3)
+        H = np.eye(3) + 0.1 * rng.randn(3, 3) * [[1, 1, 1], [1, 1, 1], [.1, .1, .2]]
+        src = rng.uniform(-1, 1, (12, 2))
+        ones = np.ones((12, 1))
+        d = np.concatenate([src, ones], 1) @ H.T
+        dst = d[:, :2] / d[:, 2:3]
+        ours = find_homography_dlt(src, dst)
+        ref, _ = cv2.findHomography(src.astype(np.float32), dst.astype(np.float32))
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_calculate_homography_too_few_points(self):
+        from sports_field_homography_tpu.prep.preparation import calculate_homography
+        field = np.random.rand(5, 2)
+        manual = np.full((5, 2), -1.0)
+        manual[0] = [0.5, 0.5]
+        assert calculate_homography(field, manual) is None
+
+    def test_reprojection_rmse_and_nonzero(self):
+        from sports_field_homography_tpu.prep.preparation import (
+            calculate_reprojection_rmse, find_nonzero_points)
+        p1 = np.array([[0, 0], [1, 1], [-1, -1.]])
+        p2 = np.array([[3, 4], [1, 1], [-1, -1.]])
+        nz = find_nonzero_points(p2)
+        assert list(nz) == [True, True, False]
+        rmse = calculate_reprojection_rmse(p1, p2, nz)
+        assert rmse == pytest.approx(5.0 / 2)
+
+    def test_onehot_conversion(self, tmp_path):
+        import cv2
+        from sports_field_homography_tpu.prep.preparation import generate_onehot
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        rgb[0:4] = (0, 255, 0)    # class 1
+        rgb[4:6] = (0, 0, 255)    # class 3
+        cv2.imwrite(str(tmp_path / "m.png"), rgb)
+        generate_onehot(str(tmp_path), num_classes=4, num_workers=1)
+        out = cv2.imread(str(tmp_path / "m.png"), 0)
+        assert set(np.unique(out)) == {0, 1, 3}
+
+
+class TestPostprocess:
+    def test_preds_to_masks_argmax(self):
+        from sports_field_homography_tpu.utils.postprocess import preds_to_masks
+        logits = np.zeros((1, 4, 4, 3), np.float32)
+        logits[..., 2] = 5.0
+        m = preds_to_masks(logits, 3)
+        assert m.dtype == np.uint8
+        assert (m == 2).all()
+
+    def test_onehot_to_image_palettes(self):
+        from sports_field_homography_tpu.utils.postprocess import onehot_to_image
+        mask = np.array([[0, 1], [2, 3]], np.uint8)
+        rgb = onehot_to_image(mask, 4)
+        assert rgb.shape == (1, 2, 2, 3)
+        assert tuple(rgb[0, 0, 1]) == (0, 255, 0)
+        with pytest.raises(NotImplementedError):
+            onehot_to_image(mask, 5)
+
+
+class TestVizMetrics:
+    def test_parse_sweep_log_and_chart(self, tmp_path):
+        from sports_field_homography_tpu.utils.viz_metrics import (
+            parse_model_dir, vizualize_metrics)
+
+        mdir = tmp_path / "model_a"
+        mdir.mkdir()
+        (mdir / "conf.yaml").write_text("version: v2\n")
+        log = """<<< Logger is created: 2026-01-01 >>>
+Starting testing:
+        Model file:      /x/CP_epoch1.msgpack
+        Images dir:      /data/frames/
+        Test size:       100
+Test scores:
+        Reprojection px:     12.5
+        Reprojection RMSE:   0.04
+        Segmentation CE:     0.3
+        Reconstruction MSE:  0.01
+        Elapsed msec:        2000.0
+<<< Logger is created: 2026-01-01 >>>
+Starting testing:
+        Model file:      /x/CP_epoch2.msgpack
+        Images dir:      /data/frames/
+        Test size:       100
+Test scores:
+        Reprojection px:     8.5
+        Reprojection RMSE:   0.03
+        Segmentation CE:     0.2
+        Reconstruction MSE:  0.008
+        Elapsed msec:        1000.0
+"""
+        (mdir / "test_scores.txt").write_text(log)
+        best = parse_model_dir(str(mdir))
+        assert best["epoch"] == "CP_epoch2.msgpack"
+        assert best["reproj_px"] == 8.5
+        assert best["imgs_per_sec"] == pytest.approx(100.0)
+
+        scores = vizualize_metrics(str(tmp_path), dst_dir=str(tmp_path / "charts"))
+        assert len(scores) == 1
+        assert os.path.exists(tmp_path / "charts" / "reproj_px-vs-imgs_per_sec.png")
+        assert os.path.exists(tmp_path / "charts" / "scores.txt")
+
+
+class TestLegacyModels:
+    def test_legacy_unet_and_court_reconstruction_shapes(self):
+        from sports_field_homography_tpu.models.legacy import (
+            UNet, CourtReconstruction)
+
+        x = jnp.zeros((1, 36, 64, 3))
+        m = UNet(n_classes=4, bilinear=True)
+        v = m.init(jax.random.PRNGKey(0), x)
+        logits = m.apply(v, x)
+        assert logits.shape == (1, 36, 64, 4)
+
+        tmpl = jnp.zeros((1, 36, 64, 1))
+        cr = CourtReconstruction(n_classes=4, target_size=(64, 36))
+        # legacy reg head hardcodes 8*22*40 like the reference; use 640x360
+        x_full = jnp.zeros((1, 360, 640, 3))
+        tmpl_full = jnp.zeros((1, 360, 640, 1))
+        cr = CourtReconstruction(n_classes=4, target_size=(640, 360))
+        v = cr.init(jax.random.PRNGKey(0), x_full, tmpl_full)
+        logits, proj = cr.apply(v, x_full, tmpl_full)
+        assert logits.shape == (1, 360, 640, 4)
+        assert proj.shape == (1, 360, 640)
+
+
+class TestVideoDataset:
+    def test_video_read_and_fallback(self, tmp_path):
+        import cv2
+        from sports_field_homography_tpu.data.dataset import VideoDataset
+
+        path = str(tmp_path / "clip.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 36))
+        rng = np.random.RandomState(0)
+        for _ in range(6):
+            w.write(rng.randint(0, 255, (36, 64, 3), dtype=np.uint8))
+        w.release()
+
+        ds = VideoDataset(path, target_size=(32, 18))
+        assert len(ds) == 6
+        s = ds[0]
+        assert s["image"].shape == (18, 32, 3)
+        assert s["name"] == "clip/000000"
+        assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0

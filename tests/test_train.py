@@ -1,0 +1,198 @@
+"""Training-loop tests on a synthetic dataset (CPU, tiny shapes).
+
+Covers: full train CLI (all 5 losses, checkpoint writing, sidecar conf),
+loss decrease on an overfit split, the checkpoint-sweep test CLI, plateau
+LR schedule, and a data-parallel shard_map step over the 8 virtual devices.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+W, H = 64, 36
+COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
+COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainset")
+    rng = np.random.RandomState(0)
+    for game, n in [("gameA", 8), ("valgame", 4)]:
+        for d in ("frames", "masks", "anno"):
+            (root / d / game).mkdir(parents=True)
+        for i in range(n):
+            img = rng.randint(0, 255, size=(H, W, 3), dtype=np.uint8)
+            Image.fromarray(img).save(root / "frames" / game / f"{i:04d}.png")
+            mask = rng.randint(0, 4, size=(H, W), dtype=np.uint8)
+            Image.fromarray(mask).save(root / "masks" / game / f"{i:04d}.png")
+            poi = np.concatenate([rng.rand(52, 2),
+                                  (rng.rand(52, 1) > 0.3).astype(float)], axis=1)
+            anno = {"poi": poi.tolist(), "reproj_mse": 0.001}
+            with open(root / "anno" / game / f"{i:04d}.json", "w") as f:
+                json.dump(anno, f)
+    return root
+
+
+def make_conf(root, cp_dir, log_dir, **overrides):
+    conf = {
+        "img_dir": str(root / "frames"), "mask_dir": str(root / "masks"),
+        "anno_dir": str(root / "anno"), "anno_keys": ["poi", "reproj_mse"],
+        "val_names": ["valgame"],
+        "court_img": COURT_IMG, "court_poi": COURT_POI,
+        "court_size": [W, H], "target_size": [W, H], "unet_size": [W, H],
+        "warp_size": [W, H], "mask_classes": 4,
+        "use_unet": True, "unet_bilinear": False, "use_resnet": True,
+        "resnet_name": "resnet18", "resnet_input": "img+mask",
+        "opt": "RMSprop", "lr": 1e-4, "weight_decay": 1e-8,
+        "epochs": 1, "batchsize": 4,
+        "seg_loss": "CE", "rec_loss": "MSE", "reproj_loss": "RRMSE",
+        "consist_loss": "CE", "consist_start_iter": 0,
+        "seg_lambda": 1.0, "rec_lambda": 1.0, "reproj_lambda": 8.0,
+        "consist_lambda": 1.0,
+        "cp_dir": str(cp_dir) + "/", "log_dir": str(log_dir),
+        "compute_dtype": "float32",
+    }
+    conf.update(overrides)
+    return conf
+
+
+def test_train_cli_end_to_end(dataset_root, tmp_path):
+    from sports_field_homography_tpu.cli.train import main
+
+    cp_dir = tmp_path / "cp"
+    conf = make_conf(dataset_root, cp_dir, tmp_path / "logs")
+    conf_path = tmp_path / "conf.yaml"
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    state = main(["-c", str(conf_path)])
+    assert state is not None
+    assert int(state["step"]) == 2          # 8 imgs / batch 4
+    assert os.path.exists(cp_dir / "CP_epoch1.msgpack")
+    assert os.path.exists(cp_dir / "conf.yaml")
+
+    # checkpoint-sweep CLI on the produced checkpoint
+    from sports_field_homography_tpu.cli.test import main as test_main
+    test_main(["--cp_dir", str(cp_dir), "--test_epochs", "1",
+               "--img_dir", conf["img_dir"], "--mask_dir", conf["mask_dir"],
+               "--anno_dir", conf["anno_dir"], "--batchsize", "4",
+               "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+               "--compute_dtype", "float32"])
+    scores = open(cp_dir / "test_scores.txt").read()
+    assert "Reprojection px:" in scores
+    assert "Elapsed msec:" in scores
+
+
+def test_loss_decreases_when_overfitting(dataset_root):
+    """A few steps on one repeated batch must reduce the total loss."""
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.train.loop import (
+        LossConfig, init_train_state, make_train_step)
+    from sports_field_homography_tpu.train.optim import make_optimizer
+    from sports_field_homography_tpu.data.dataset import BasicDataset
+    from sports_field_homography_tpu.data.loader import Loader
+
+    class A:
+        batchsize = 4
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    ids = [f"gameA/{i:04d}.png" for i in range(4)]
+    ds = BasicDataset(ids, str(dataset_root / "frames"),
+                      str(dataset_root / "masks"), str(dataset_root / "anno"),
+                      ["poi", "reproj_mse"], 4, target_size=(W, H))
+    batch = next(iter(Loader(ds, 4, num_workers=1)))
+    batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+             and k != "valid"}
+
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
+                          consist_loss=None, batch_size=4)
+    optimizer = make_optimizer("Adam", 3e-4, 0.0)
+    step = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg,
+                                   bundle.court_img, bundle.court_poi))
+    state = init_train_state(bundle.variables, optimizer)
+    first = None
+    for i in range(8):
+        state, logs = step(state, batch)
+        if first is None:
+            first = float(logs["Tot_loss"])
+    last = float(logs["Tot_loss"])
+    assert last < first, (first, last)
+    assert np.isfinite(last)
+
+
+def test_plateau_scheduler_matches_torch_semantics():
+    from sports_field_homography_tpu.train.optim import ReduceLROnPlateau
+
+    s = ReduceLROnPlateau(lr=1.0, patience=3, factor=0.1)
+    # improving metrics: lr unchanged
+    for m in (10.0, 9.0, 8.0):
+        assert s.step(m) == 1.0
+    # 4 bad epochs (patience 3) -> reduce on the 4th
+    for m in (8.0, 8.0, 8.0):
+        assert s.step(m) == 1.0
+    assert s.step(8.0) == pytest.approx(0.1)
+
+
+def test_data_parallel_shard_map_step(dataset_root):
+    """DP over the 8 virtual CPU devices: replicated state stays identical
+    and matches the single-device step on the same global batch."""
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.parallel.mesh import make_mesh, shard_train_step
+    from sports_field_homography_tpu.train.loop import (
+        LossConfig, init_train_state, make_train_step)
+    from sports_field_homography_tpu.train.optim import make_optimizer
+
+    class A:
+        batchsize = 8
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    rng = np.random.RandomState(1)
+    batch = {
+        "image": rng.rand(8, H, W, 3).astype(np.float32),
+        "mask": rng.randint(0, 4, size=(8, H, W)).astype(np.int64),
+        "weight": np.ones((8, 1), np.float32),
+    }
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss=None,
+                          consist_loss=None, batch_size=8)
+    optimizer = make_optimizer("SGD", 1e-3, 0.0)
+
+    mesh = make_mesh(8, spatial=1)
+    dp_model = bundle.model.clone(bn_axis_name="data")   # sync BatchNorm
+    dp_step = shard_train_step(
+        make_train_step(dp_model, optimizer, loss_cfg, bundle.court_img,
+                        bundle.court_poi, axis_name="data"), mesh)
+    state = init_train_state(bundle.variables, optimizer)
+    dp_state, dp_logs = dp_step(state, batch)
+
+    single = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg,
+                                     bundle.court_img, bundle.court_poi))
+    s_state, s_logs = single(init_train_state(bundle.variables, optimizer), batch)
+
+    # per-shard BN batch stats differ from global-batch stats by design;
+    # params must agree because grads are psum-averaged
+    np.testing.assert_allclose(float(dp_logs["Tot_loss"]),
+                               float(s_logs["Tot_loss"]), rtol=2e-3)
+    a = jax.tree.leaves(dp_state["params"])
+    b = jax.tree.leaves(s_state["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-5)
