@@ -31,20 +31,27 @@ def main():
     variables = jax.jit(lambda: model.init(rng, x[:1], court_img[:1],
                                            court_poi[:1], train=False))()
 
+    import numpy as np
+    from sports_field_homography_tpu.ops.interval_warp import build_interval_table
+
+    court_img = jax.device_put(court_img)
+    court_poi = jax.device_put(court_poi)
+    warp_table = build_interval_table(np.asarray(court_img))
+
     @jax.jit
-    def predict(variables, x):
-        return model.apply(variables, x, court_img, court_poi,
+    def predict(variables, x, ci, cp, wt):
+        return model.apply(variables, x, ci, cp,
                            consistency=True, project_poi=False,
-                           method=model.predict)
+                           warp_table=wt, method=model.predict)
 
     # warmup / compile
-    out = predict(variables, x)
+    out = predict(variables, x, court_img, court_poi, warp_table)
     jax.block_until_ready(out)
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = predict(variables, x)
+        out = predict(variables, x, court_img, court_poi, warp_table)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = batch * n_iters / dt

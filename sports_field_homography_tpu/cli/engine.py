@@ -94,23 +94,44 @@ def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool):
     Static req-output pruning happens through XLA DCE: the caller simply
     drops unneeded dict entries and the compiler removes their compute.
     """
-    model, court_img, court_poi = bundle.model, bundle.court_img, bundle.court_poi
+    model = bundle.model
+    court_img = jax.device_put(bundle.court_img)
+    court_poi = jax.device_put(bundle.court_poi)
 
+    # Interval-encode the template for the gather-free nearest warp
+    # (ops/interval_warp): bit-exact and ~20x faster than the XLA gather.
+    warp_table = None
+    if bundle.config.use_warper and bundle.config.warp_with_nearest:
+        try:
+            from ..ops.interval_warp import build_interval_table
+            warp_table = build_interval_table(np.asarray(bundle.court_img))
+        except (ValueError, AssertionError) as e:
+            print(f"interval warp unavailable ({e}); using gather warp")
+
+    # court constants ride as jit ARGUMENTS, not closures
     @jax.jit
-    def fn(variables, x):
-        return model.apply(variables, x, court_img, court_poi,
+    def _fn(variables, x, ci, cp, wt):
+        return model.apply(variables, x, ci, cp,
                            consistency=consistency, project_poi=project_poi,
-                           method=model.predict)
+                           warp_table=wt, method=model.predict)
+
+    def fn(variables, x):
+        return _fn(variables, x, court_img, court_poi, warp_table)
     return fn
 
 
 def jit_forward_fn(bundle: ModelBundle, train: bool):
-    model, court_img, court_poi = bundle.model, bundle.court_img, bundle.court_poi
+    model = bundle.model
+    court_img = jax.device_put(bundle.court_img)
+    court_poi = jax.device_put(bundle.court_poi)
 
     @jax.jit
-    def fn(variables, x):
-        return model.apply(variables, x, court_img, court_poi, train=train,
+    def _fn(variables, x, ci, cp):
+        return model.apply(variables, x, ci, cp, train=train,
                            mutable=["batch_stats"] if train else False)
+
+    def fn(variables, x):
+        return _fn(variables, x, court_img, court_poi)
     return fn
 
 

@@ -108,14 +108,16 @@ def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
         else MaskReader(from_preds=preds)
     n_frames = len(video)
 
-    court_img = open_court_template(field_path, mask_classes,
-                                    (out_w, out_h), 1)
+    court_img = jax.device_put(open_court_template(field_path, mask_classes,
+                                                   (out_w, out_h), 1))
 
     @jax.jit
-    def warp_one(theta):
-        out = warp_homography(court_img, theta, (out_h, out_w),
-                              mode="nearest")
+    def _warp_one(ci, theta):
+        out = warp_homography(ci, theta, (out_h, out_w), mode="nearest")
         return (out[..., 0] * mask_classes).astype(jnp.int32)
+
+    def warp_one(theta):
+        return _warp_one(court_img, theta)
 
     temp_dir = os.path.join(dst_dir, "_temp")
     if os.path.exists(temp_dir):

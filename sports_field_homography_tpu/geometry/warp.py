@@ -22,8 +22,6 @@ inference configuration and falls back to this implementation elsewhere.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -37,22 +35,18 @@ __all__ = [
 ]
 
 
-@functools.lru_cache(maxsize=32)
-def _cached_grid(height: int, width: int, dtype_name: str):
-    # cache numpy, not jnp: a jnp constant materialized inside a jit trace
-    # would leak a tracer out of the transformation
-    import numpy as np
-    xs = np.linspace(-1.0, 1.0, width, dtype=dtype_name)
-    ys = np.linspace(-1.0, 1.0, height, dtype=dtype_name)
-    return np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (H, W, 2)
-
-
 def normalized_grid(height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
     """(H, W, 2) grid of (x, y) in [-1, 1], endpoints included.
 
     Matches kornia's ``create_meshgrid(h, w, normalized_coordinates=True)``.
+    Generated on-device from iotas: a host-side constant would be embedded
+    in the executable and (on tunneled runtimes) re-uploaded every call.
     """
-    return jnp.asarray(_cached_grid(height, width, jnp.dtype(dtype).name))
+    xs = jax.lax.broadcasted_iota(dtype, (height, width), 1)
+    ys = jax.lax.broadcasted_iota(dtype, (height, width), 0)
+    xs = xs * (2.0 / (width - 1)) - 1.0
+    ys = ys * (2.0 / (height - 1)) - 1.0
+    return jnp.stack([xs, ys], axis=-1)
 
 
 def warp_grid(theta: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -153,3 +147,72 @@ def warp_homography(src: jnp.ndarray, theta: jnp.ndarray, out_hw,
     ho, wo = out_hw
     grid = warp_grid(theta, ho, wo)
     return grid_sample(src, grid, mode=mode, align_corners=False)
+
+
+def warp_homography_nearest_2pass(src: jnp.ndarray, theta: jnp.ndarray,
+                                  out_hw) -> jnp.ndarray:
+    """Fast nearest homography warp via two aligned axis-gathers.
+
+    TPU-native reformulation of the nearest-mode warp: arbitrary 2D gathers
+    (one scattered element per output pixel) serialize badly on TPU, but
+    ``take_along_axis`` along a single axis with all other coordinates
+    aligned maps onto efficient vector gathers.  A homography maps each
+    output row to a *line* ``v = a*u + b`` in the source image, so the warp
+    decomposes exactly into:
+
+      pass A (sublane gather): A[i, c] = src[round(a_i*c + b_i), c]
+                               — sample the template along row-i's line at
+                               every integer source column c;
+      pass B (lane gather):    out[i, j] = A[i, round(u_ij)].
+
+    Deviation from single-pass nearest: pass A evaluates the line at the
+    *rounded* column, shifting the row lookup by at most ``|a_i|/2`` pixels
+    — only knife-edge boundary pixels can differ (empirically <0.2% of
+    pixels for broadcast-camera homographies; rows whose source line is
+    near-vertical, |du| -> 0, degrade further but are atypical).  Use the
+    exact ``warp_homography`` when bit-parity with the reference matters.
+
+    Args:
+      src:   (B, Ht, Wt, 1) template.
+      theta: (B, 3, 3) or (B, 1, 3, 3) frame->court homographies.
+    Returns:
+      (B, Ho, Wo, 1), zeros outside the source.
+    """
+    if theta.ndim == 4:
+        theta = theta[:, 0]
+    b, ht, wt, _ = src.shape
+    ho, wo = out_hw
+    t = src[..., 0]                                        # (B, Ht, Wt)
+
+    # continuous source pixel coords for all output pixels (exact math)
+    grid = warp_grid(theta, ho, wo)                        # (B, Ho, Wo, 2)
+    u = _unnormalize(grid[..., 0], wt, False)              # (B, Ho, Wo)
+    v = _unnormalize(grid[..., 1], ht, False)
+
+    # per-output-row source line v = a*u + b from the row endpoints
+    u0, u1 = u[:, :, 0], u[:, :, -1]                       # (B, Ho)
+    v0, v1 = v[:, :, 0], v[:, :, -1]
+    du = u1 - u0
+    safe = jnp.abs(du) > 1e-6
+    a = jnp.where(safe, (v1 - v0) / jnp.where(safe, du, 1.0), 0.0)
+    bline = v0 - a * u0
+
+    # pass A: sample along each row's line at integer source columns
+    c = jax.lax.broadcasted_iota(jnp.float32, (b, ho, wt), 2)
+    va = a[..., None] * c + bline[..., None]               # (B, Ho, Wt)
+    ya = jnp.round(va).astype(jnp.int32)
+    valid_a = (ya >= 0) & (ya < ht)
+    rows = jnp.take_along_axis(t, jnp.clip(ya, 0, ht - 1), axis=1)
+    rows = jnp.where(valid_a, rows, 0.0)                   # (B, Ho, Wt)
+
+    # pass B: pick the rounded source column per output pixel (lane gather
+    # done as transpose + sublane gather + transpose)
+    cu = jnp.round(u).astype(jnp.int32)                    # (B, Ho, Wo)
+    cv = jnp.round(v).astype(jnp.int32)
+    valid_b = (cu >= 0) & (cu < wt) & (cv >= 0) & (cv < ht) & safe[..., None]
+    rows_t = jnp.swapaxes(rows, 1, 2)                      # (B, Wt, Ho)
+    cu_t = jnp.swapaxes(jnp.clip(cu, 0, wt - 1), 1, 2)     # (B, Wo, Ho)
+    out_t = jnp.take_along_axis(rows_t, cu_t, axis=1)      # (B, Wo, Ho)
+    out = jnp.swapaxes(out_t, 1, 2)
+    out = jnp.where(valid_b, out, 0.0)
+    return out[..., None]

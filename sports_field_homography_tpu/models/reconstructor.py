@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..geometry.homography import transform_poi
-from ..geometry.warp import warp_homography
+from ..geometry.warp import warp_homography, warp_homography_nearest_2pass
 from ..ops.resize import resize_bilinear, resize_nearest
 from .losses import cross_entropy_map
 from .resnet import ResNetSTN, resnet_models
@@ -75,6 +75,10 @@ class ReconstructorConfig:
     use_warper: bool = True
     warp_size: Tuple[int, int] = (640, 360)
     warp_with_nearest: bool = False
+    # TPU fast path: two-pass aligned-gather nearest warp (see
+    # geometry.warp.warp_homography_nearest_2pass). Off by default for
+    # bit-parity with the reference sampler.
+    fast_warp: bool = False
 
     def __post_init__(self):
         assert self.use_unet or self.use_resnet
@@ -140,7 +144,7 @@ class Reconstructor(nn.Module):
         raise NotImplementedError
 
     def warp(self, theta: jnp.ndarray, court_img: jnp.ndarray,
-             nearest: Optional[bool] = None) -> jnp.ndarray:
+             nearest: Optional[bool] = None, warp_table=None) -> jnp.ndarray:
         """Warp the court template by predicted theta (reference :109-118).
 
         Returns (B, H, W) like the reference's ``squeeze(1)``.
@@ -151,7 +155,16 @@ class Reconstructor(nn.Module):
         mode = "nearest" if (cfg.warp_with_nearest if nearest is None else nearest) \
             else "bilinear"
         w, h = cfg.warp_size
-        out = warp_homography(template.astype(jnp.float32), theta, (h, w), mode=mode)
+        if mode == "nearest" and warp_table is not None:
+            # gather-free interval warp (ops/interval_warp); exact up to the
+            # table capacity, built host-side from the same template
+            from ..ops.interval_warp import warp_nearest_interval
+            return warp_nearest_interval(warp_table, theta, (h, w))
+        src = template.astype(jnp.float32)
+        if mode == "nearest" and cfg.fast_warp:
+            out = warp_homography_nearest_2pass(src, theta, (h, w))
+        else:
+            out = warp_homography(src, theta, (h, w), mode=mode)
         return out[..., 0]
 
     # ---- public entry points ------------------------------------------------
@@ -180,7 +193,7 @@ class Reconstructor(nn.Module):
 
     def predict(self, x: jnp.ndarray, court_img: jnp.ndarray,
                 court_poi: jnp.ndarray, consistency: bool = True,
-                project_poi: bool = False) -> dict:
+                project_poi: bool = False, warp_table=None) -> dict:
         """Inference forward (reference ``predict``, :196-246).
 
         ``warp_mask`` is returned as int32 class labels (template values *
@@ -198,7 +211,8 @@ class Reconstructor(nn.Module):
             theta = self.resnet_reg(y, train=False)
             ret["theta"] = theta
             if cfg.use_warper:
-                warp_mask = self.warp(theta, court_img) * cfg.mask_classes
+                warp_mask = self.warp(theta, court_img,
+                                      warp_table=warp_table) * cfg.mask_classes
                 if consistency and cfg.use_unet:
                     wm = warp_mask
                     if logits.shape[1:3] != wm.shape[1:3]:

@@ -1,0 +1,169 @@
+"""Gather-free nearest homography warp via per-row interval tables.
+
+Arbitrary-index gathers serialize on TPU (~10 ns/element: the exact
+nearest warp costs ~76 ms for a 32x360x640 batch).  But the court template
+is a *label map with few transitions per row* (NCAA template: <=28, soccer
+pitch: <=4).  Encode each template row as a step function — sorted
+boundary columns + per-interval values — and the warp becomes:
+
+  1. row fetch:  one-hot(round(v)) @ table     — an MXU matmul
+     (P x Ht) @ (Ht x (2K+1)), no gather;
+  2. interval search:  idx = sum_k (round(u) >= boundary_k)  — VPU compares;
+  3. value pick:  sum_k value_k * (idx == k)               — VPU selects.
+
+Exact (not approximate): reproduces single-pass nearest sampling
+bit-for-bit wherever the table capacity K covers the row's transitions
+(asserted at build time).  Zero padding outside the template matches
+``grid_sample``'s zeros mode.
+
+Used by ``Reconstructor.warp`` when ``config.fast_warp`` is set; the
+table is built once per template on the host (``build_interval_table``).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.warp import warp_grid, _unnormalize
+
+__all__ = ["IntervalTable", "build_interval_table", "warp_nearest_interval"]
+
+
+@jax.tree_util.register_pytree_node_class
+class IntervalTable:
+    """Pytree wrapper: the table array is a leaf, the geometry is static."""
+
+    def __init__(self, table, src_hw: Tuple[int, int], K: int,
+                 value_scale: float):
+        # value_scale arg kept positionally for tree_unflatten compat
+        self.table = table        # (Ht, 3K+1) bf16: [b_hi | b_lo | scaled vals]
+        self.src_hw = tuple(src_hw)
+        self.K = int(K)
+        self.value_step = float(value_scale)   # multiply selected values back
+
+    def tree_flatten(self):
+        return (self.table,), (self.src_hw, self.K, self.value_step)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def build_interval_table(template: np.ndarray, max_transitions: int = 32,
+                         value_scale: float = None) -> IntervalTable:
+    """Encode a (Ht, Wt) piecewise-constant image as per-row intervals.
+
+    ``template`` is the float template (label/num_classes values).  Raises
+    if any row has more than ``max_transitions`` value changes.
+
+    bf16 exactness: the table rides through a bf16 MXU matmul, so every
+    entry must be bf16-exact.  Boundary columns (ints up to Wt) are split
+    into hi (multiple of 256) + lo (<256) components; values are stored
+    scaled to small integers (``value_scale`` defaults to the reciprocal
+    of the smallest value spacing, e.g. num_classes for label templates)
+    and divided back after selection.
+    """
+    t = np.asarray(template)
+    if t.ndim == 4:          # (B, Ht, Wt, 1) device-constant layout
+        t = t[0, :, :, 0]
+    elif t.ndim == 3:
+        t = t[..., 0]
+    ht, wt = t.shape
+    K = max_transitions
+    boundaries = np.full((ht, K), float(wt + 1), dtype=np.float32)
+    values = np.zeros((ht, K + 1), dtype=np.float32)
+    for r in range(ht):
+        row = t[r]
+        change = np.nonzero(np.diff(row))[0] + 1      # columns where value changes
+        if len(change) > K:
+            raise ValueError(
+                f"row {r} has {len(change)} transitions > table capacity {K}")
+        boundaries[r, :len(change)] = change.astype(np.float32)
+        vals = np.concatenate([[row[0]], row[change]]) if len(change) else np.asarray([row[0]])
+        values[r, :len(vals)] = vals
+        # replicate last value so clamped interval indices stay correct
+        values[r, len(vals):] = vals[-1]
+
+    if value_scale is None:
+        uniq = np.unique(values)
+        diffs = np.diff(uniq)
+        step = diffs[diffs > 0].min() if (diffs > 0).any() else 1.0
+    else:
+        step = 1.0 / value_scale
+    # store the multiply-back step exactly (float64 -> float32 once); a
+    # reciprocal round-trip would cost an ulp and break bit-exactness
+    step = np.float32(step)
+    scaled = values / step
+    assert np.allclose(scaled, np.round(scaled), atol=1e-4), \
+        "values not integral at chosen scale"
+    scaled = np.round(scaled)
+    assert scaled.max() < 256, "scaled values exceed bf16-exact range"
+
+    b_hi = np.floor(boundaries / 256.0) * 256.0
+    b_lo = boundaries - b_hi
+    tab = np.concatenate([b_hi, b_lo, scaled], axis=1).astype(np.float32)
+    # every entry must survive the bf16 round-trip exactly
+    assert np.array_equal(tab, np.asarray(jnp.asarray(tab, jnp.bfloat16),
+                                          np.float32)), "table not bf16-exact"
+    return IntervalTable(jnp.asarray(tab, jnp.bfloat16), (ht, wt), K,
+                         float(step))
+
+
+def warp_nearest_interval(table: IntervalTable, theta: jnp.ndarray,
+                          out_hw, row_chunk: int = 4) -> jnp.ndarray:
+    """Nearest homography warp of the encoded template.
+
+    Args:
+      theta: (B, 3, 3) or (B, 1, 3, 3) frame->court homographies.
+      out_hw: (Ho, Wo).
+      row_chunk: output rows processed per scan step (bounds the one-hot
+        intermediate to B*row_chunk*Wo x Ht).
+    Returns:
+      (B, Ho, Wo) warped template values, zeros outside the source.
+    """
+    if theta.ndim == 4:
+        theta = theta[:, 0]
+    ht, wt = table.src_hw
+    ho, wo = out_hw
+    b = theta.shape[0]
+    K = table.K
+
+    grid = warp_grid(theta, ho, wo)                       # (B, Ho, Wo, 2)
+    u = _unnormalize(grid[..., 0], wt, False)
+    v = _unnormalize(grid[..., 1], ht, False)
+    iu = jnp.round(u)                                     # f32 column
+    iv = jnp.round(v)
+    valid = (iu >= 0) & (iu < wt) & (iv >= 0) & (iv < ht)
+    ivc = jnp.clip(iv, 0, ht - 1)
+
+    tab = table.table                                     # (Ht, 3K+1) bf16
+
+    n_chunks = (ho + row_chunk - 1) // row_chunk
+    assert ho % row_chunk == 0, (ho, row_chunk)
+
+    ivc_c = ivc.reshape(b, n_chunks, row_chunk, wo).transpose(1, 0, 2, 3)
+    iu_c = iu.reshape(b, n_chunks, row_chunk, wo).transpose(1, 0, 2, 3)
+
+    def chunk_fn(carry, args):
+        ivk, iuk = args                                   # (B, rc, Wo)
+        q = ivk.reshape(-1)                               # (P,)
+        # one-hot over template rows: iota compare, fused into the matmul
+        rows = jax.lax.broadcasted_iota(jnp.float32, (q.shape[0], ht), 1)
+        onehot = (rows == q[:, None]).astype(jnp.bfloat16)
+        rowdata = jnp.dot(onehot, tab,
+                          preferred_element_type=jnp.float32)   # (P, 3K+1)
+        bounds = rowdata[:, :K] + rowdata[:, K:2 * K]           # hi + lo, exact
+        vals = rowdata[:, 2 * K:]
+        uq = iuk.reshape(-1, 1)
+        idx = jnp.sum((uq >= bounds).astype(jnp.float32), axis=1)   # (P,)
+        kk = jax.lax.broadcasted_iota(jnp.float32, (q.shape[0], K + 1), 1)
+        picked = jnp.sum(vals * (kk == idx[:, None]), axis=1)
+        return carry, (picked * table.value_step).reshape(ivk.shape)
+
+    _, out = jax.lax.scan(chunk_fn, 0, (ivc_c, iu_c))
+    out = out.transpose(1, 0, 2, 3).reshape(b, ho, wo)
+    return jnp.where(valid, out, 0.0)

@@ -1,5 +1,5 @@
 """Device-side image resizing with exact ``torch.nn.functional.interpolate``
-semantics, formulated the TPU way.
+semantics.
 
 The reference resizes activations inside the forward pass
 (``models/reconstructor.py:132-158``: bilinear align_corners=False on the
@@ -7,80 +7,64 @@ way into the UNet, nearest on the way out and in the consistency score) and
 uses ``nn.Upsample(scale_factor=2, bilinear, align_corners=True)`` inside
 the UNet decoder (``unet/unet_parts.py:49``).
 
-Instead of gather-based sampling, separable resizes are expressed as two
-small dense matmuls (one per axis).  The interpolation-weight matrices are
-tiny ((H_out, H_in) etc.), are built once on the host and cached, and the
-contractions run on the MXU — this is both exact (weights replicate the
-PyTorch coordinate math bit-for-bit in f32) and fast, and it fuses cleanly
-under jit.  Nearest resizing is a pure row/column gather.
+Separable bilinear resize = per-axis two-tap gather + lerp; nearest =
+per-axis row/column gather.  Indices and weights are generated **on
+device** from iotas (replicating PyTorch's coordinate math exactly in
+f32) — host-side constants would be embedded in the executable and, on
+tunneled TPU runtimes, re-uploaded on every dispatch.
 """
 from __future__ import annotations
 
-import functools
-
-import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["resize_bilinear", "resize_nearest", "upsample2x_bilinear"]
 
 
-@functools.lru_cache(maxsize=64)
-def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool,
-                     dtype_name: str):
-    """(out_size, in_size) row-interpolation matrix matching torch."""
-    m = np.zeros((out_size, in_size), dtype=np.float64)
-    if out_size == 1:
-        # torch maps the single output to src index 0 for align_corners=True
-        # and to scale*0.5-0.5 (clamped) otherwise; both land on pixel 0 when
-        # in_size is 1, and on the clamped coordinate generally.
-        if align_corners:
-            m[0, 0] = 1.0
+def _source_coords(in_size: int, out_size: int, align_corners: bool):
+    """torch bilinear source coordinates, clamped; f32 iota math on device."""
+    i = jax.lax.iota(jnp.float32, out_size)
+    if align_corners:
+        if out_size == 1:
+            src = jnp.zeros((1,), jnp.float32)
         else:
-            src = max(0.0, (in_size / out_size) * 0.5 - 0.5)
-            i0 = int(np.floor(src))
-            i1 = min(i0 + 1, in_size - 1)
-            lam = src - i0
-            m[0, i0] += 1.0 - lam
-            m[0, i1] += lam
+            src = i * (float(in_size - 1) / float(out_size - 1))
     else:
-        for i in range(out_size):
-            if align_corners:
-                src = i * (in_size - 1) / (out_size - 1)
-            else:
-                src = (i + 0.5) * in_size / out_size - 0.5
-                src = max(src, 0.0)
-            i0 = int(np.floor(src))
-            i0 = min(i0, in_size - 1)
-            i1 = min(i0 + 1, in_size - 1)
-            lam = src - i0
-            m[i, i0] += 1.0 - lam
-            m[i, i1] += lam
-    # cache numpy, not jnp: avoids leaking trace-time constants
-    return m.astype(dtype_name)
+        src = (i + 0.5) * (in_size / out_size) - 0.5
+        src = jnp.maximum(src, 0.0)
+    i0 = jnp.minimum(jnp.floor(src), in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    lam = src - i0
+    return i0.astype(jnp.int32), i1.astype(jnp.int32), lam
 
 
-@functools.lru_cache(maxsize=64)
-def _nearest_indices(in_size: int, out_size: int):
-    """int32 source indices matching torch mode='nearest' (floor of i*scale)."""
-    scale = in_size / out_size
-    idx = np.floor(np.arange(out_size) * scale).astype(np.int32)
-    return np.minimum(idx, in_size - 1)
+def _resize_axis_bilinear(x: jnp.ndarray, axis: int, out_size: int,
+                          align_corners: bool) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    i0, i1, lam = _source_coords(in_size, out_size, align_corners)
+    a = jnp.take(x, i0, axis=axis)
+    b = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    lam = lam.reshape(shape).astype(x.dtype)
+    return a * (1 - lam) + b * lam
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resize of (B, H, W, C) images; exact torch.interpolate math."""
     ho, wo = int(out_hw[0]), int(out_hw[1])
-    b, h, w, c = x.shape
-    if (h, w) == (ho, wo):
-        return x
-    dtype = jnp.dtype(x.dtype).name
-    if h != ho:
-        mh = jnp.asarray(_bilinear_matrix(h, ho, align_corners, dtype))
-        x = jnp.einsum("oh,bhwc->bowc", mh, x, precision="highest")
-    if w != wo:
-        mw = jnp.asarray(_bilinear_matrix(w, wo, align_corners, dtype))
-        x = jnp.einsum("ow,bhwc->bhoc", mw, x, precision="highest")
+    x = _resize_axis_bilinear(x, 1, ho, align_corners)
+    x = _resize_axis_bilinear(x, 2, wo, align_corners)
     return x
+
+
+def _nearest_indices(in_size: int, out_size: int) -> jnp.ndarray:
+    """torch mode='nearest': floor(i * in/out), on device."""
+    i = jax.lax.iota(jnp.float32, out_size)
+    idx = jnp.floor(i * (in_size / out_size)).astype(jnp.int32)
+    return jnp.minimum(idx, in_size - 1)
 
 
 def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
@@ -90,9 +74,9 @@ def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     if (h, w) == (ho, wo):
         return x
     if h != ho:
-        x = jnp.take(x, jnp.asarray(_nearest_indices(h, ho)), axis=1)
+        x = jnp.take(x, _nearest_indices(h, ho), axis=1)
     if w != wo:
-        x = jnp.take(x, jnp.asarray(_nearest_indices(w, wo)), axis=2)
+        x = jnp.take(x, _nearest_indices(w, wo), axis=2)
     return x
 
 

@@ -56,15 +56,15 @@ def shard_train_step(step_fn, mesh: Mesh):
     the returned state stays replica-identical.
     """
 
-    def wrapped(state, batch):
+    def wrapped(state, batch, court_img, court_poi):
         batch_specs = {k: P("data") for k in batch}
         f = jax.shard_map(
             step_fn, mesh=mesh,
-            in_specs=(P(), batch_specs),
+            in_specs=(P(), batch_specs, P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return f(state, batch)
+        return f(state, batch, court_img, court_poi)
 
     return jax.jit(wrapped)
 
@@ -80,12 +80,18 @@ def shard_predict_fn(model, variables_sharding_mesh, court_img, court_poi,
     in_s = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
+    ci = jax.device_put(court_img, repl)
+    cp = jax.device_put(court_poi, repl)
+
     @jax.jit
-    def fn(variables, x):
+    def _fn(variables, x, ci, cp):
         x = jax.lax.with_sharding_constraint(x, in_s)
-        return model.apply(variables, x, court_img, court_poi,
+        return model.apply(variables, x, ci, cp,
                            consistency=consistency, project_poi=project_poi,
                            method=model.predict)
+
+    def fn(variables, x):
+        return _fn(variables, x, ci, cp)
 
     return fn, in_s, repl
 
@@ -100,9 +106,15 @@ def spatial_forward_fn(model, mesh: Mesh, court_img, court_poi,
     """
     x_sharding = NamedSharding(mesh, P("data", "spatial"))
 
+    ci = jax.device_put(court_img)
+    cp = jax.device_put(court_poi)
+
     @jax.jit
-    def fn(variables, x):
+    def _fn(variables, x, ci, cp):
         x = jax.lax.with_sharding_constraint(x, x_sharding)
-        return model.apply(variables, x, court_img, court_poi, train=train)
+        return model.apply(variables, x, ci, cp, train=train)
+
+    def fn(variables, x):
+        return _fn(variables, x, ci, cp)
 
     return fn

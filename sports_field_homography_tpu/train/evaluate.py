@@ -35,9 +35,12 @@ def make_eval_step(model, court_img, court_poi, target_size,
     mask_classes = model.config.mask_classes
     unet_uv = model.config.unet_uv
 
+    court_img = jax.device_put(court_img)
+    court_poi = jax.device_put(court_poi)
+
     @jax.jit
-    def step(variables, batch) -> Dict[str, jnp.ndarray]:
-        preds = model.apply(variables, batch["image"], court_img, court_poi,
+    def _step(variables, batch, ci, cp) -> Dict[str, jnp.ndarray]:
+        preds = model.apply(variables, batch["image"], ci, cp,
                             train=False)
         out: Dict[str, jnp.ndarray] = {}
         logits = preds.get("logits")
@@ -83,6 +86,9 @@ def make_eval_step(model, court_img, court_poi, target_size,
         out["_warp"] = warp_masks if warp_masks is not None else jnp.zeros(())
         out["_uv"] = uv if uv is not None else jnp.zeros(())
         return out
+
+    def step(variables, batch):
+        return _step(variables, batch, court_img, court_poi)
 
     return step
 

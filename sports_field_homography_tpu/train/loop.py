@@ -76,16 +76,18 @@ def _elementwise(loss_name):
     return {"MSE": mse_map, "SmoothL1": smooth_l1_map}[loss_name]
 
 
-def make_train_step(model, optimizer, loss_cfg: LossConfig, court_img,
-                    court_poi, axis_name: Optional[str] = None):
+def make_train_step(model, optimizer, loss_cfg: LossConfig,
+                    axis_name: Optional[str] = None):
     """Build the jitted (or shard_map-able) train step.
 
-    Returns ``step(state, batch) -> (state, logs)`` where logs mirrors the
-    reference's TB scalars (Seg/Rec/UV/Reproj/Cons/Tot losses).
+    Returns ``step(state, batch, court_img, court_poi) -> (state, logs)``
+    where logs mirrors the reference's TB scalars.  The court constants are
+    arguments, not closures: jit closure constants get re-uploaded per
+    dispatch on tunneled TPU runtimes (29 MB template = 78 ms/step).
     """
     num_classes = model.config.mask_classes
 
-    def loss_fn(params, batch_stats, batch, step_no):
+    def loss_fn(params, batch_stats, batch, step_no, court_img, court_poi):
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.apply(variables, batch["image"], court_img,
                                      court_poi, train=True,
@@ -138,10 +140,11 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig, court_img,
         logs["Tot_loss"] = total
         return total, (mutated["batch_stats"], logs)
 
-    def step(state, batch):
+    def step(state, batch, court_img, court_poi):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, logs)), grads = grad_fn(
-            state["params"], state["batch_stats"], batch, state["step"])
+            state["params"], state["batch_stats"], batch, state["step"],
+            court_img, court_poi)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             logs = jax.lax.pmean(logs, axis_name)
@@ -197,16 +200,17 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
     state = init_train_state(variables, optimizer)
     scheduler = ReduceLROnPlateau(lr, patience=3)
 
+    court_img = jax.device_put(court_img)
+    court_poi = jax.device_put(court_poi)
     if mesh is not None:
         from ..parallel.mesh import shard_train_step
         # cross-replica BN: per-shard batch stats pmean-reduced over 'data'
         dp_model = model.clone(bn_axis_name="data")
         step_fn = shard_train_step(
-            make_train_step(dp_model, optimizer, loss_cfg, court_img, court_poi,
-                            axis_name="data"), mesh)
+            make_train_step(dp_model, optimizer, loss_cfg, axis_name="data"),
+            mesh)
     else:
-        step_fn = jax.jit(
-            make_train_step(model, optimizer, loss_cfg, court_img, court_poi))
+        step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
 
@@ -215,7 +219,7 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         epoch_loss = 0.0
         t0 = time.time()
         for batch in train_loader:
-            state, logs = step_fn(state, batch)
+            state, logs = step_fn(state, batch, court_img, court_poi)
             global_step += 1
             if state_holder is not None:   # expose for SIGTERM interrupt save
                 state_holder["state"] = state

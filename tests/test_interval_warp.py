@@ -1,0 +1,66 @@
+"""Interval-table warp must be bit-exact vs the gather-based sampler."""
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from sports_field_homography_tpu.geometry.warp import warp_homography
+from sports_field_homography_tpu.ops.interval_warp import (
+    build_interval_table, warp_nearest_interval)
+
+NCAA = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
+PITCH = "/root/repo/assets/pitch_mask_nc4_hd.png"
+
+
+def load(path, size=(320, 180)):
+    t = np.array(Image.open(path).resize(size, Image.NEAREST), np.float32)
+    if t.ndim == 3:
+        t = t[..., 0]
+    return t / 4.0
+
+
+def realistic_thetas(b, seed=0):
+    rng = np.random.RandomState(seed)
+    base = np.array([[1.4, 0.1, 0.05], [0.02, 2.2, 0.6], [0.01, 0.9, 1.0]])
+    out = [base + 0.05 * rng.randn(3, 3) * [[1, 1, 1], [1, 1, 1], [.1, .3, .3]]
+           for _ in range(b)]
+    return jnp.asarray(np.stack(out).astype(np.float32))
+
+
+@pytest.mark.parametrize("path", [NCAA, PITCH])
+def test_bit_exact_vs_gather_warp(path):
+    tmpl = load(path)
+    b = 4
+    src = jnp.asarray(np.tile(tmpl[None, :, :, None], (b, 1, 1, 1)))
+    table = build_interval_table(tmpl)
+    theta = realistic_thetas(b)
+    exact = np.asarray(warp_homography(src, theta, (180, 320), "nearest"))[..., 0]
+    fast = np.asarray(warp_nearest_interval(table, theta, (180, 320)))
+    np.testing.assert_array_equal(fast, exact)
+
+
+def test_zero_padding_outside_template():
+    tmpl = load(NCAA)
+    table = build_interval_table(tmpl)
+    # strong zoom-out: most of the output lies outside the template
+    theta = jnp.asarray([[[6.0, 0.0, 0.0], [0.0, 6.0, 0.0], [0.0, 0.0, 1.0]]],
+                        jnp.float32)
+    out = np.asarray(warp_nearest_interval(table, theta, (180, 320)))
+    assert out[0, 0, 0] == 0.0 and out[0, -1, -1] == 0.0
+    assert out.max() > 0          # center still samples the court
+
+
+def test_table_capacity_error():
+    rng = np.random.RandomState(0)
+    noisy = (rng.randint(0, 4, (64, 128)) / 4.0).astype(np.float32)
+    with pytest.raises(ValueError):
+        build_interval_table(noisy, max_transitions=8)
+
+
+def test_theta_b133_shape_accepted():
+    tmpl = load(NCAA)
+    table = build_interval_table(tmpl)
+    theta = realistic_thetas(2)[:, None]      # (B, 1, 3, 3)
+    out = warp_nearest_interval(table, theta, (180, 320))
+    assert out.shape == (2, 180, 320)

@@ -120,12 +120,11 @@ def test_loss_decreases_when_overfitting(dataset_root):
     loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
                           consist_loss=None, batch_size=4)
     optimizer = make_optimizer("Adam", 3e-4, 0.0)
-    step = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg,
-                                   bundle.court_img, bundle.court_poi))
+    step = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg))
     state = init_train_state(bundle.variables, optimizer)
     first = None
     for i in range(8):
-        state, logs = step(state, batch)
+        state, logs = step(state, batch, bundle.court_img, bundle.court_poi)
         if first is None:
             first = float(logs["Tot_loss"])
     last = float(logs["Tot_loss"])
@@ -178,14 +177,13 @@ def test_data_parallel_shard_map_step(dataset_root):
     mesh = make_mesh(8, spatial=1)
     dp_model = bundle.model.clone(bn_axis_name="data")   # sync BatchNorm
     dp_step = shard_train_step(
-        make_train_step(dp_model, optimizer, loss_cfg, bundle.court_img,
-                        bundle.court_poi, axis_name="data"), mesh)
+        make_train_step(dp_model, optimizer, loss_cfg, axis_name="data"), mesh)
     state = init_train_state(bundle.variables, optimizer)
-    dp_state, dp_logs = dp_step(state, batch)
+    dp_state, dp_logs = dp_step(state, batch, bundle.court_img, bundle.court_poi)
 
-    single = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg,
-                                     bundle.court_img, bundle.court_poi))
-    s_state, s_logs = single(init_train_state(bundle.variables, optimizer), batch)
+    single = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg))
+    s_state, s_logs = single(init_train_state(bundle.variables, optimizer),
+                             batch, bundle.court_img, bundle.court_poi)
 
     # per-shard BN batch stats differ from global-batch stats by design;
     # params must agree because grads are psum-averaged
