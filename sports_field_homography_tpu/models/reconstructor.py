@@ -155,11 +155,14 @@ class Reconstructor(nn.Module):
         mode = "nearest" if (cfg.warp_with_nearest if nearest is None else nearest) \
             else "bilinear"
         w, h = cfg.warp_size
-        if mode == "nearest" and warp_table is not None:
-            # gather-free interval warp (ops/interval_warp); exact up to the
-            # table capacity, built host-side from the same template
-            from ..ops.interval_warp import warp_nearest_interval
-            return warp_nearest_interval(warp_table, theta, (h, w))
+        if warp_table is not None:
+            # gather-free interval warps (ops/interval_warp); bit-exact vs
+            # the gather sampler, built host-side from the same template
+            from ..ops.interval_warp import (warp_bilinear_interval,
+                                             warp_nearest_interval)
+            if mode == "nearest":
+                return warp_nearest_interval(warp_table, theta, (h, w))
+            return warp_bilinear_interval(warp_table, theta, (h, w))
         src = template.astype(jnp.float32)
         if mode == "nearest" and cfg.fast_warp:
             out = warp_homography_nearest_2pass(src, theta, (h, w))
@@ -170,7 +173,8 @@ class Reconstructor(nn.Module):
     # ---- public entry points ------------------------------------------------
 
     def __call__(self, x: jnp.ndarray, court_img: jnp.ndarray,
-                 court_poi: jnp.ndarray, train: bool = False) -> dict:
+                 court_poi: jnp.ndarray, train: bool = False,
+                 warp_table=None) -> dict:
         """Training/eval forward (reference ``forward``, :160-194)."""
         cfg = self.config
         ret = {}
@@ -188,7 +192,8 @@ class Reconstructor(nn.Module):
             if cfg.use_warper:
                 # training uses bilinear: nearest is flagged buggy in the
                 # reference during training (models/reconstructor.py:104-105)
-                ret["warp_mask"] = self.warp(theta, court_img)
+                ret["warp_mask"] = self.warp(theta, court_img,
+                                             warp_table=warp_table)
         return ret
 
     def predict(self, x: jnp.ndarray, court_img: jnp.ndarray,

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..geometry.warp import warp_grid, _unnormalize
 
-__all__ = ["IntervalTable", "build_interval_table", "warp_nearest_interval"]
+__all__ = ["IntervalTable", "build_interval_table", "warp_nearest_interval",
+           "warp_bilinear_interval"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -114,7 +115,7 @@ def build_interval_table(template: np.ndarray, max_transitions: int = 32,
 
 
 def warp_nearest_interval(table: IntervalTable, theta: jnp.ndarray,
-                          out_hw, row_chunk: int = 4) -> jnp.ndarray:
+                          out_hw, row_chunk: int = 12) -> jnp.ndarray:
     """Nearest homography warp of the encoded template.
 
     Args:
@@ -142,8 +143,12 @@ def warp_nearest_interval(table: IntervalTable, theta: jnp.ndarray,
 
     tab = table.table                                     # (Ht, 3K+1) bf16
 
-    n_chunks = (ho + row_chunk - 1) // row_chunk
-    assert ho % row_chunk == 0, (ho, row_chunk)
+    if ho % row_chunk != 0:            # fall back to a divisor of Ho
+        for rc in (8, 6, 5, 4, 3, 2, 1):
+            if ho % rc == 0:
+                row_chunk = rc
+                break
+    n_chunks = ho // row_chunk
 
     ivc_c = ivc.reshape(b, n_chunks, row_chunk, wo).transpose(1, 0, 2, 3)
     iu_c = iu.reshape(b, n_chunks, row_chunk, wo).transpose(1, 0, 2, 3)
@@ -167,3 +172,83 @@ def warp_nearest_interval(table: IntervalTable, theta: jnp.ndarray,
     _, out = jax.lax.scan(chunk_fn, 0, (ivc_c, iu_c))
     out = out.transpose(1, 0, 2, 3).reshape(b, ho, wo)
     return jnp.where(valid, out, 0.0)
+
+
+def warp_bilinear_interval(table: IntervalTable, theta: jnp.ndarray,
+                           out_hw, row_chunk: int = 12) -> jnp.ndarray:
+    """Gather-free *bilinear* homography warp of the encoded template.
+
+    Same machinery as ``warp_nearest_interval`` but fetches the two
+    bracketing template rows (floor(v), floor(v)+1) per query — one
+    one-hot matmul each — picks the two bracketing columns per row via the
+    interval search, and lerps.  Matches ``grid_sample(mode='bilinear',
+    padding_mode='zeros', align_corners=False)`` on the encoded template,
+    with the standard grid_sample gradient structure w.r.t. theta (value
+    picks are piecewise constant; gradients flow through the lerp weights).
+
+    Used on the training path (the reference trains with the bilinear
+    warper; ``models/reconstructor.py:104-107``).
+    """
+    if theta.ndim == 4:
+        theta = theta[:, 0]
+    ht, wt = table.src_hw
+    ho, wo = out_hw
+    b = theta.shape[0]
+    K = table.K
+
+    grid = warp_grid(theta, ho, wo)
+    u = _unnormalize(grid[..., 0], wt, False)
+    v = _unnormalize(grid[..., 1], ht, False)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    tx = u - u0
+    ty = v - v0
+
+    tab = table.table
+
+    if ho % row_chunk != 0:
+        for rc in (8, 6, 5, 4, 3, 2, 1):
+            if ho % rc == 0:
+                row_chunk = rc
+                break
+    n_chunks = ho // row_chunk
+
+    def reshape_c(a):
+        return a.reshape(b, n_chunks, row_chunk, wo).transpose(1, 0, 2, 3)
+
+    step = jnp.float32(table.value_step)
+
+    def row_values(q_rows, u0q, txq):
+        """Fetch one template row per query; return x-lerped value + valid."""
+        valid_r = (q_rows >= 0) & (q_rows < ht)
+        q = jnp.clip(q_rows, 0, ht - 1).reshape(-1)
+        rows = jax.lax.broadcasted_iota(jnp.float32, (q.shape[0], ht), 1)
+        onehot = (rows == q[:, None]).astype(jnp.bfloat16)
+        rowdata = jnp.dot(onehot, tab, preferred_element_type=jnp.float32)
+        bounds = rowdata[:, :K] + rowdata[:, K:2 * K]
+        vals = rowdata[:, 2 * K:]
+
+        def pick(cols):
+            valid_c = (cols >= 0) & (cols < wt)
+            cq = jnp.clip(cols, 0, wt - 1).reshape(-1, 1)
+            idx = jnp.sum((cq >= bounds).astype(jnp.float32), axis=1)
+            kk = jax.lax.broadcasted_iota(jnp.float32, (q.shape[0], K + 1), 1)
+            picked = jnp.sum(vals * (kk == idx[:, None]), axis=1)
+            picked = picked.reshape(cols.shape) * step
+            return jnp.where(valid_c, picked, 0.0)
+
+        left = pick(u0q)
+        right = pick(u0q + 1.0)
+        out = left * (1.0 - txq) + right * txq
+        return jnp.where(valid_r, out, 0.0)
+
+    def chunk_fn(carry, args):
+        v0q, tyq, u0q, txq = args
+        top = row_values(v0q, u0q, txq)
+        bot = row_values(v0q + 1.0, u0q, txq)
+        return carry, top * (1.0 - tyq) + bot * tyq
+
+    _, out = jax.lax.scan(chunk_fn, 0,
+                          (reshape_c(v0), reshape_c(ty),
+                           reshape_c(u0), reshape_c(tx)))
+    return out.transpose(1, 0, 2, 3).reshape(b, ho, wo)

@@ -56,15 +56,15 @@ def shard_train_step(step_fn, mesh: Mesh):
     the returned state stays replica-identical.
     """
 
-    def wrapped(state, batch, court_img, court_poi):
+    def wrapped(state, batch, court_img, court_poi, warp_table=None):
         batch_specs = {k: P("data") for k in batch}
         f = jax.shard_map(
             step_fn, mesh=mesh,
-            in_specs=(P(), batch_specs, P(), P()),
+            in_specs=(P(), batch_specs, P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return f(state, batch, court_img, court_poi)
+        return f(state, batch, court_img, court_poi, warp_table)
 
     return jax.jit(wrapped)
 

@@ -87,10 +87,12 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     """
     num_classes = model.config.mask_classes
 
-    def loss_fn(params, batch_stats, batch, step_no, court_img, court_poi):
+    def loss_fn(params, batch_stats, batch, step_no, court_img, court_poi,
+                warp_table):
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.apply(variables, batch["image"], court_img,
                                      court_poi, train=True,
+                                     warp_table=warp_table,
                                      mutable=["batch_stats"])
         logs = {}
         total = jnp.zeros((), jnp.float32)
@@ -140,11 +142,11 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
         logs["Tot_loss"] = total
         return total, (mutated["batch_stats"], logs)
 
-    def step(state, batch, court_img, court_poi):
+    def step(state, batch, court_img, court_poi, warp_table=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, logs)), grads = grad_fn(
             state["params"], state["batch_stats"], batch, state["step"],
-            court_img, court_poi)
+            court_img, court_poi, warp_table)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             logs = jax.lax.pmean(logs, axis_name)
@@ -202,6 +204,13 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
 
     court_img = jax.device_put(court_img)
     court_poi = jax.device_put(court_poi)
+    warp_table = None
+    if model.config.use_warper and not model.config.warp_with_nearest:
+        try:
+            from ..ops.interval_warp import build_interval_table
+            warp_table = build_interval_table(np.asarray(court_img))
+        except (ValueError, AssertionError) as e:
+            logger.info(f"interval warp unavailable for training ({e})")
     if mesh is not None:
         from ..parallel.mesh import shard_train_step
         # cross-replica BN: per-shard batch stats pmean-reduced over 'data'
@@ -219,7 +228,8 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         epoch_loss = 0.0
         t0 = time.time()
         for batch in train_loader:
-            state, logs = step_fn(state, batch, court_img, court_poi)
+            state, logs = step_fn(state, batch, court_img, court_poi,
+                                  warp_table)
             global_step += 1
             if state_holder is not None:   # expose for SIGTERM interrupt save
                 state_holder["state"] = state

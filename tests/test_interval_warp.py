@@ -64,3 +64,40 @@ def test_theta_b133_shape_accepted():
     theta = realistic_thetas(2)[:, None]      # (B, 1, 3, 3)
     out = warp_nearest_interval(table, theta, (180, 320))
     assert out.shape == (2, 180, 320)
+
+
+def test_bilinear_interval_matches_gather_bilinear():
+    from sports_field_homography_tpu.ops.interval_warp import warp_bilinear_interval
+
+    tmpl = load(NCAA)
+    b = 4
+    src = jnp.asarray(np.tile(tmpl[None, :, :, None], (b, 1, 1, 1)))
+    table = build_interval_table(tmpl)
+    theta = realistic_thetas(b, seed=3)
+    exact = np.asarray(warp_homography(src, theta, (180, 320), "bilinear"))[..., 0]
+    fast = np.asarray(warp_bilinear_interval(table, theta, (180, 320)))
+    np.testing.assert_allclose(fast, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_bilinear_interval_gradient_matches_gather():
+    """d(warp)/d(theta) must match the gather-based sampler's gradient."""
+    import jax
+    from sports_field_homography_tpu.ops.interval_warp import warp_bilinear_interval
+
+    tmpl = load(NCAA, size=(64, 36))
+    src = jnp.asarray(tmpl[None, :, :, None])
+    table = build_interval_table(tmpl)
+    theta0 = realistic_thetas(1, seed=5)
+    tgt = jnp.zeros((1, 36, 64))
+
+    def loss_gather(th):
+        w = warp_homography(src, th, (36, 64), "bilinear")[..., 0]
+        return jnp.mean((w - tgt) ** 2)
+
+    def loss_interval(th):
+        w = warp_bilinear_interval(table, th, (36, 64))
+        return jnp.mean((w - tgt) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_gather)(theta0))
+    g2 = np.asarray(jax.grad(loss_interval)(theta0))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
