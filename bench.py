@@ -13,12 +13,17 @@ GFLOP/frame at realistic utilization — see BASELINE.md).  The north-star
 target is vs_baseline >= 4.
 """
 import json
+import os
+import sys
 import time
 
 V100_BATCH18_FPS_ESTIMATE = 70.0
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship
@@ -47,6 +52,13 @@ def main():
     # warmup / compile
     out = predict(variables, x, court_img, court_poi, warp_table)
     jax.block_until_ready(out)
+
+    if "--profile" in sys.argv:
+        from sports_field_homography_tpu.utils.profiling import trace
+        with trace("/tmp/sfh_profile"):
+            out = predict(variables, x, court_img, court_poi, warp_table)
+            jax.block_until_ready(out)
+        print("trace written to /tmp/sfh_profile", file=sys.stderr)
 
     n_iters = 20
     t0 = time.perf_counter()

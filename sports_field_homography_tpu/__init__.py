@@ -11,3 +11,12 @@ matmul-formulated resampling, Pallas kernels for the warp hot path, and
 __version__ = "0.1.0"
 
 from . import geometry  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy subpackage access: sfh.models, sfh.ops, ... without import cost
+    import importlib
+    if name in ("models", "ops", "data", "train", "parallel", "compat",
+                "utils", "cli", "prep"):
+        return importlib.import_module("." + name, __name__)
+    raise AttributeError(name)

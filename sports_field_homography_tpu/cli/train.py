@@ -16,7 +16,7 @@ import jax
 from ..data.dataset import BasicDataset, split_on_train_val
 from ..data.loader import Loader
 from ..train.loop import LossConfig, train_net
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import save_checkpoint, save_train_state
 from ..utils.config import get_training_args, parse_config, replace_args
 from ..utils.logger import get_logger
 from .engine import build_model
@@ -128,10 +128,12 @@ def main(argv=None):
 
     def save_model(a1=None, a2=None):
         if state_holder["state"] is not None:
-            path = os.path.join(args.cp_dir, "last.msgpack")
             s = state_holder["state"]
+            path = os.path.join(args.cp_dir, "last.msgpack")
             save_checkpoint(path, {"params": s["params"],
                                    "batch_stats": s["batch_stats"]})
+            # full train state (opt_state + step) for true resume
+            save_train_state(os.path.join(args.cp_dir, "last_state.msgpack"), s)
             logger.info("Saved interrupt to {}".format(path))
         sys.exit(0)
 

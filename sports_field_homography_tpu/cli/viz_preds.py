@@ -96,7 +96,10 @@ class MaskReader:
 
 def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
               mask_classes=4, out_size=(1280, 720), fps=30,
-              score_threshold=0.1, overlay_threshold=None):
+              score_threshold=0.1, overlay_threshold=None,
+              encode_video=True):
+    """``encode_video=False`` keeps the rendered PNG chunks and skips the
+    ffmpeg encode/concat (for environments without ffmpeg, and tests)."""
     import cv2
 
     chunk_size = 10000
@@ -130,6 +133,10 @@ def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
 
     def encode_chunk():
         nonlocal chunk_i, counter
+        if not encode_video:
+            chunk_i += 1
+            counter = 0
+            return
         dst_path = os.path.join(temp_dir, "chunk{}.mp4".format(chunk_i))
         chunk_list_file.write("file " + dst_path + "\n")
         cmd = ("ffmpeg -pattern_type glob -framerate {} -f image2 -i '{}*.png' {}"
@@ -176,6 +183,11 @@ def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
     if counter != 0:
         encode_chunk()
     chunk_list_file.close()
+
+    if not encode_video:
+        print("Rendered frames kept in", temp_dir)
+        print("All done!")
+        return
 
     dst_video_path = os.path.join(dst_dir, "output.mp4")
     if os.path.exists(dst_video_path):

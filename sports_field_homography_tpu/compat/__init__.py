@@ -1,0 +1,1 @@
+from .torch_import import convert_state_dict, load_torch_checkpoint

@@ -1,0 +1,12 @@
+from .preparation import (
+    FOOTBALL_PITCH_IGNORE_POINTS,
+    MASK_CLASS_MAPPINGS,
+    generate_requests,
+    calculate_homography,
+    find_homography_dlt,
+    find_nonzero_points,
+    calculate_reprojection_rmse,
+    rescale_theta,
+    generate_onehot,
+    convert_rgb_to_onehot,
+)

@@ -37,11 +37,18 @@ def make_eval_step(model, court_img, court_poi, target_size,
 
     court_img = jax.device_put(court_img)
     court_poi = jax.device_put(court_poi)
+    warp_table = None
+    if model.config.use_warper:
+        try:
+            from ..ops.interval_warp import build_interval_table
+            warp_table = build_interval_table(np.asarray(court_img))
+        except (ValueError, AssertionError):
+            pass
 
     @jax.jit
-    def _step(variables, batch, ci, cp) -> Dict[str, jnp.ndarray]:
+    def _step(variables, batch, ci, cp, wt) -> Dict[str, jnp.ndarray]:
         preds = model.apply(variables, batch["image"], ci, cp,
-                            train=False)
+                            train=False, warp_table=wt)
         out: Dict[str, jnp.ndarray] = {}
         logits = preds.get("logits")
         warp_masks = preds.get("warp_mask")
@@ -88,7 +95,7 @@ def make_eval_step(model, court_img, court_poi, target_size,
         return out
 
     def step(variables, batch):
-        return _step(variables, batch, court_img, court_poi)
+        return _step(variables, batch, court_img, court_poi, warp_table)
 
     return step
 

@@ -16,7 +16,8 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "save_train_state",
+           "load_train_state"]
 
 
 def save_checkpoint(path: str, variables: Dict[str, Any]) -> None:
@@ -64,3 +65,24 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None,
             abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
             return ckptr.restore(path, abstract)
         return ckptr.restore(path)
+
+
+def save_train_state(path: str, state) -> None:
+    """Save a FULL training state (params + batch_stats + opt_state + step).
+
+    The reference checkpoints only the model state_dict (``train.py:314-323``)
+    so resumed runs restart the optimizer; this preserves true resume.
+    """
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+def load_train_state(path: str, target):
+    """Restore a full training state saved by ``save_train_state``."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())

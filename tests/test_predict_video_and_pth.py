@@ -1,0 +1,143 @@
+"""Video-source prediction, reference-.pth loading, and multi-chip predict."""
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+W, H = 64, 36
+COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
+COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
+
+
+def common_argv(load, dst, req, extra=None):
+    return [
+        "--load", str(load), "--dst_dir", str(dst),
+        "--req_outputs", req, "--out_size", str(W), str(H),
+        "--batchsize", "2", "--compute_dtype", "float32",
+        "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+    ] + (extra or [])
+
+
+def write_conf(cp_dir):
+    conf = {
+        "target_size": [W, H], "unet_size": [W, H], "warp_size": [W, H],
+        "court_size": [W, H], "mask_classes": 4, "resnet_name": "resnet18",
+        "resnet_input": "img+mask", "use_unet": True, "use_resnet": True,
+    }
+    with open(os.path.join(cp_dir, "conf.yaml"), "w") as f:
+        yaml.safe_dump(conf, f)
+
+
+def test_video_source_predict(tmp_path):
+    import cv2
+    from sports_field_homography_tpu.cli.predict import process
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.utils.checkpoint import save_checkpoint
+
+    video_dir = tmp_path / "mygame"
+    video_dir.mkdir()
+    video = str(video_dir / "clip.mp4")
+    wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10, (W, H))
+    rng = np.random.RandomState(0)
+    for _ in range(7):
+        wr.write(rng.randint(0, 255, (H, W, 3), dtype=np.uint8))
+    wr.release()
+
+    cp_dir = tmp_path / "ckpt"
+    cp_dir.mkdir()
+    write_conf(cp_dir)
+
+    class A:
+        batchsize = 2
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    save_checkpoint(str(cp_dir / "CP_epoch1.msgpack"), bundle.variables)
+
+    process(common_argv(cp_dir / "CP_epoch1.msgpack", tmp_path / "out",
+                        "theta,consistency",
+                        extra=["--video_path", video]))
+    # game name = basename(dirname(video)) (reference predict.py:164)
+    out = json.load(open(tmp_path / "out" / "mygame_court.json"))
+    frames = {k: v for k, v in out.items() if k != "model"}
+    assert len(frames) == 7
+    assert "000000" in frames and "000006" in frames
+
+
+def test_predict_from_reference_pth(tmp_path):
+    """A reference-format .pth checkpoint drives predict end-to-end."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_ref import import_reference
+    from sports_field_homography_tpu.cli.predict import process
+    from PIL import Image
+
+    ref_reconstructor, _, _ = import_reference()
+    torch.manual_seed(11)
+    ci = torch.rand(1, 1, H, W)
+    cp = torch.rand(1, 20, 2) * 2 - 1
+    net = ref_reconstructor.Reconstructor(
+        ci, cp, target_size=(W, H), mask_classes=4, unet_size=(W, H),
+        warp_size=(W, H), resnet_name="resnet18", resnet_input="img+mask")
+    cp_dir = tmp_path / "refckpt"
+    cp_dir.mkdir()
+    torch.save(net.state_dict(), cp_dir / "CP_epoch1.pth")
+    write_conf(cp_dir)
+
+    img_dir = tmp_path / "frames"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (H, W, 3), dtype=np.uint8)).save(
+            img_dir / f"{i:06d}.png")
+
+    process(common_argv(cp_dir / "CP_epoch1.pth", tmp_path / "out",
+                        "theta,consistency",
+                        extra=["--img_dir", str(img_dir)]))
+    out = json.load(open(tmp_path / "out" / "frames_court.json"))
+    assert out["model"] == "refckpt"
+    assert len([k for k in out if k != "model"]) == 3
+
+
+def test_multichip_sharded_predict():
+    """shard_predict_fn over the 8 virtual devices == single-device output."""
+    from sports_field_homography_tpu.cli.engine import build_model, jit_predict_fn
+    from sports_field_homography_tpu.parallel.mesh import make_mesh, shard_predict_fn
+
+    class A:
+        batchsize = 8
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A, warp_with_nearest=True)
+    mesh = make_mesh(8)
+    fn, in_s, repl = shard_predict_fn(bundle.model, mesh, bundle.court_img,
+                                      bundle.court_poi, consistency=True,
+                                      project_poi=False)
+    x = np.random.RandomState(2).rand(8, H, W, 3).astype(np.float32)
+    xs = jax.device_put(x, in_s)
+    vs = jax.device_put(bundle.variables, repl)
+    out = fn(vs, xs)
+
+    single = jit_predict_fn(bundle, consistency=True, project_poi=False)
+    ref = single(bundle.variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out["theta"]),
+                               np.asarray(ref["theta"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["consist_score"]),
+                               np.asarray(ref["consist_score"]),
+                               rtol=1e-3, atol=1e-4)
