@@ -45,9 +45,11 @@ def main():
 
     @jax.jit
     def predict(variables, x, ci, cp, wt):
-        return model.apply(variables, x, ci, cp,
-                           consistency=True, project_poi=False,
-                           warp_table=wt, method=model.predict)
+        preds = model.apply(variables, x, ci, cp,
+                            consistency=True, project_poi=False,
+                            warp_table=wt, method=model.predict)
+        # static output pruning, same as the predict CLI for this config
+        return {"theta": preds["theta"], "consist_score": preds["consist_score"]}
 
     # warmup / compile
     out = predict(variables, x, court_img, court_poi, warp_table)

@@ -37,12 +37,28 @@ class ModelBundle:
     config: ReconstructorConfig
 
 
+def _enable_persistent_compile_cache():
+    """Persist XLA compilations across CLI invocations (compiles through
+    the tunneled TPU runtime can take minutes)."""
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache"))
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def build_model(args, load: Optional[str] = None,
                 warp_with_nearest: bool = False,
                 batch_size: Optional[int] = None,
                 init_if_missing: bool = True,
                 seed: int = 0) -> ModelBundle:
     """Construct Reconstructor + court constants from parsed CLI args."""
+    _enable_persistent_compile_cache()
     bs = batch_size if batch_size is not None else args.batchsize
     cfg = ReconstructorConfig(
         target_size=tuple(args.target_size),
@@ -88,11 +104,16 @@ def _init_variables(model, cfg, court_img, court_poi, bs, seed):
                                       train=False))()
 
 
-def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool):
-    """Jitted ``Reconstructor.predict`` closed over court constants.
+def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool,
+                   keep=None):
+    """Jitted ``Reconstructor.predict`` with static output pruning.
 
-    Static req-output pruning happens through XLA DCE: the caller simply
-    drops unneeded dict entries and the compiler removes their compute.
+    ``keep``: tuple of output keys to return (None = all).  Pruning inside
+    the jit matters twice: XLA dead-code-eliminates the pruned compute
+    (e.g. the full-res warp when only theta is requested), and — critical
+    on tunneled runtimes that ship jit outputs eagerly — the 100+ MB
+    logits/warp_mask buffers never cross the wire (measured 7.5 s/batch
+    -> 0.2 s/batch for the theta+consistency config at out_size 1280x720).
     """
     model = bundle.model
     court_img = jax.device_put(bundle.court_img)
@@ -111,9 +132,12 @@ def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool):
     # court constants ride as jit ARGUMENTS, not closures
     @jax.jit
     def _fn(variables, x, ci, cp, wt):
-        return model.apply(variables, x, ci, cp,
-                           consistency=consistency, project_poi=project_poi,
-                           warp_table=wt, method=model.predict)
+        preds = model.apply(variables, x, ci, cp,
+                            consistency=consistency, project_poi=project_poi,
+                            warp_table=wt, method=model.predict)
+        if keep is not None:
+            preds = {k: v for k, v in preds.items() if k in keep}
+        return preds
 
     def fn(variables, x):
         return _fn(variables, x, court_img, court_poi, warp_table)

@@ -124,8 +124,19 @@ def process(argv=None, num_data_workers: int = 4):
     logger = get_logger(format="%(message)s", write_date=False)
 
     bundle = build_model(args, load=args.load, warp_with_nearest=True)
+    keep = set()
+    if "segm_mask" in req_outputs:
+        keep.add("logits")
+    if "warp_mask" in req_outputs:
+        keep.add("warp_mask")
+    if "theta" in req_outputs:
+        keep.add("theta")
+    if consistency:
+        keep.add("consist_score")
+    if project_poi:
+        keep.add("poi")
     predict = jit_predict_fn(bundle, consistency=consistency,
-                             project_poi=project_poi)
+                             project_poi=project_poi, keep=tuple(keep))
 
     # dataset (reference predict.py:210-227)
     assert args.img_dir is not None or args.video_path is not None, \

@@ -219,9 +219,22 @@ class Reconstructor(nn.Module):
                 warp_mask = self.warp(theta, court_img,
                                       warp_table=warp_table) * cfg.mask_classes
                 if consistency and cfg.use_unet:
-                    wm = warp_mask
-                    if logits.shape[1:3] != wm.shape[1:3]:
-                        wm = resize_nearest(wm[..., None], logits.shape[1:3])[..., 0]
+                    if (logits.shape[1:3] != warp_mask.shape[1:3]
+                            and warp_table is not None):
+                        # fuse the nearest downsample into the warp grid:
+                        # bit-equal to resize_nearest(warp_mask), and it
+                        # decouples the score from the full-res warp so XLA
+                        # can DCE it when warp_mask isn't requested
+                        from ..ops.interval_warp import warp_nearest_interval
+                        w_, h_ = cfg.warp_size
+                        wm = warp_nearest_interval(
+                            warp_table, theta, (h_, w_),
+                            sample_hw=logits.shape[1:3]) * cfg.mask_classes
+                    elif logits.shape[1:3] != warp_mask.shape[1:3]:
+                        wm = resize_nearest(warp_mask[..., None],
+                                            logits.shape[1:3])[..., 0]
+                    else:
+                        wm = warp_mask
                     labels = wm.astype(jnp.int32)
                     scores = cross_entropy_map(logits, labels)
                     ret["consist_score"] = jnp.mean(scores, axis=(1, 2))

@@ -114,8 +114,37 @@ def build_interval_table(template: np.ndarray, max_transitions: int = 32,
                          float(step))
 
 
+def _nearest_subsample_idx(n_full: int, n_sub: int):
+    """torch nearest-resize source indices: floor(i * full / sub)."""
+    import jax
+    i = jax.lax.iota(jnp.float32, n_sub)
+    return jnp.minimum(jnp.floor(i * (n_full / n_sub)), n_full - 1)
+
+
+def _warp_grid_subsampled(theta, out_hw, sample_hw):
+    """The out_hw warp grid evaluated only at the nearest-resize sample
+    points of sample_hw — warping with it is bit-equal to warping at
+    out_hw then nearest-resizing to sample_hw."""
+    ho, wo = out_hw
+    hs, ws = sample_hw
+    iy = _nearest_subsample_idx(ho, hs)                   # (Hs,)
+    ix = _nearest_subsample_idx(wo, ws)                   # (Ws,)
+    xn = ix * (2.0 / (wo - 1)) - 1.0
+    yn = iy * (2.0 / (ho - 1)) - 1.0
+    gx = jnp.broadcast_to(xn[None, :], (hs, ws))
+    gy = jnp.broadcast_to(yn[:, None], (hs, ws))
+    grid = jnp.stack([gx, gy], axis=-1).reshape(1, -1, 2)
+    if theta.ndim == 4:
+        theta = theta[:, 0]
+    from ..geometry.homography import transform_points
+    b = theta.shape[0]
+    pts = transform_points(theta, jnp.broadcast_to(grid, (b, hs * ws, 2)))
+    return pts.reshape(b, hs, ws, 2)
+
+
 def warp_nearest_interval(table: IntervalTable, theta: jnp.ndarray,
-                          out_hw, row_chunk: int = 12) -> jnp.ndarray:
+                          out_hw, row_chunk: int = 12,
+                          sample_hw=None) -> jnp.ndarray:
     """Nearest homography warp of the encoded template.
 
     Args:
@@ -123,17 +152,26 @@ def warp_nearest_interval(table: IntervalTable, theta: jnp.ndarray,
       out_hw: (Ho, Wo).
       row_chunk: output rows processed per scan step (bounds the one-hot
         intermediate to B*row_chunk*Wo x Ht).
+      sample_hw: optional (Hs, Ws) — evaluate only the nearest-resize
+        sample points of the out_hw grid; the result is bit-equal to
+        warping at out_hw then nearest-resizing to sample_hw, at
+        (Hs*Ws)/(Ho*Wo) of the cost.  Used to fuse the consistency-score
+        downsample into the warp.
     Returns:
-      (B, Ho, Wo) warped template values, zeros outside the source.
+      (B, Ho, Wo) (or (B, Hs, Ws)) warped values, zeros outside the source.
     """
     if theta.ndim == 4:
         theta = theta[:, 0]
     ht, wt = table.src_hw
-    ho, wo = out_hw
     b = theta.shape[0]
     K = table.K
 
-    grid = warp_grid(theta, ho, wo)                       # (B, Ho, Wo, 2)
+    if sample_hw is not None:
+        grid = _warp_grid_subsampled(theta, out_hw, sample_hw)
+        ho, wo = sample_hw
+    else:
+        ho, wo = out_hw
+        grid = warp_grid(theta, ho, wo)                   # (B, Ho, Wo, 2)
     u = _unnormalize(grid[..., 0], wt, False)
     v = _unnormalize(grid[..., 1], ht, False)
     iu = jnp.round(u)                                     # f32 column

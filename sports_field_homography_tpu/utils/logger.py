@@ -24,6 +24,10 @@ def get_logger(log_path: str | None = None,
 
     logger = logging.getLogger(log_name)
     logger.setLevel(logging.INFO)
+    # avoid duplicate handlers when the same logger is requested repeatedly
+    # (the reference re-adds handlers each call and double-prints)
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
     stdout_handler = logging.StreamHandler(sys.stdout)
     stdout_handler.setFormatter(logging.Formatter(format))
     logger.addHandler(stdout_handler)

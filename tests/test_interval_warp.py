@@ -101,3 +101,17 @@ def test_bilinear_interval_gradient_matches_gather():
     g1 = np.asarray(jax.grad(loss_gather)(theta0))
     g2 = np.asarray(jax.grad(loss_interval)(theta0))
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_subsampled_warp_equals_warp_then_nearest_resize():
+    from sports_field_homography_tpu.ops.interval_warp import warp_nearest_interval
+    from sports_field_homography_tpu.ops.resize import resize_nearest
+
+    tmpl = load(NCAA, size=(320, 180))
+    table = build_interval_table(tmpl)
+    theta = realistic_thetas(3, seed=9)
+    full = warp_nearest_interval(table, theta, (180, 320))
+    down = np.asarray(resize_nearest(full[..., None], (90, 160))[..., 0])
+    fused = np.asarray(warp_nearest_interval(table, theta, (180, 320),
+                                             sample_hw=(90, 160)))
+    np.testing.assert_array_equal(fused, down)

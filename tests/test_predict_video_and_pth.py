@@ -141,3 +141,53 @@ def test_multichip_sharded_predict():
     np.testing.assert_allclose(np.asarray(out["consist_score"]),
                                np.asarray(ref["consist_score"]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_soccer_pitch_variant_predict(tmp_path):
+    """BASELINE config #5: pitch template + pitch PoI (33 points)."""
+    from PIL import Image
+    from sports_field_homography_tpu.cli.predict import process
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.utils.checkpoint import save_checkpoint
+
+    img_dir = tmp_path / "frames"
+    img_dir.mkdir()
+    rng = np.random.RandomState(5)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (H, W, 3), dtype=np.uint8)).save(
+            img_dir / f"{i:06d}.png")
+
+    cp_dir = tmp_path / "ckpt"
+    cp_dir.mkdir()
+    write_conf(cp_dir)
+
+    pitch_img = "/root/repo/assets/pitch_mask_nc4_hd.png"
+    pitch_poi = "/root/repo/assets/template_pitch_points.json"
+
+    class A:
+        batchsize = 2
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = pitch_img; court_poi = pitch_poi
+
+    bundle = build_model(A)
+    save_checkpoint(str(cp_dir / "CP_epoch1.msgpack"), bundle.variables)
+
+    argv = [
+        "--load", str(cp_dir / "CP_epoch1.msgpack"),
+        "--dst_dir", str(tmp_path / "out"),
+        "--req_outputs", "theta,poi,consistency,warp_mask",
+        "--out_size", str(W), str(H), "--batchsize", "2",
+        "--compute_dtype", "float32",
+        "--court_img", pitch_img, "--court_poi", pitch_poi,
+        "--img_dir", str(img_dir),
+        "--mask_save_format", "png",
+    ]
+    process(argv)
+    out = json.load(open(tmp_path / "out" / "frames_court.json"))
+    v = out["000000"]
+    assert np.asarray(v["poi"]).shape == (33, 2)     # pitch has 33 PoI
+    assert len(os.listdir(tmp_path / "out" / "court" / "warp_mask")) == 3
