@@ -167,7 +167,9 @@ def main(argv=None):
             loss_cfg=loss_cfg, opt=args.opt, epochs=args.epochs, lr=args.lr,
             w_decay=args.weight_decay, target_size=args.target_size,
             cp_dir=args.cp_dir, log_dir=args.log_dir, logger=logger,
-            vizualize=args.viz, mesh=mesh, state_holder=state_holder)
+            vizualize=args.viz, mesh=mesh, state_holder=state_holder,
+            resume_state_path=(os.path.join(args.cp_dir, "last_state.msgpack")
+                               if args.resume else None))
         return state
     except KeyboardInterrupt:
         save_model()

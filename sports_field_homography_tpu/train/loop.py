@@ -165,7 +165,8 @@ def train_net(model, variables, court_img, court_poi, train_loader, n_train,
               val_loader, batch_size, val_step_n, loss_cfg: LossConfig,
               opt="RMSprop", epochs=5, lr=1e-4, w_decay=1e-8,
               target_size=(1280, 720), cp_dir=None, log_dir=None, logger=None,
-              vizualize=False, mesh=None, state_holder=None):
+              vizualize=False, mesh=None, state_holder=None,
+              resume_state_path=None):
     """Host-side training orchestration (reference ``train_net``)."""
     import logging
     if logger is None:
@@ -200,6 +201,11 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
 
     optimizer = make_optimizer(opt, lr, w_decay, grad_clip_value=0.1)
     state = init_train_state(variables, optimizer)
+    if resume_state_path is not None and os.path.exists(resume_state_path):
+        from ..utils.checkpoint import load_train_state
+        state = load_train_state(resume_state_path, state)
+        logger.info(f"Resumed full train state from {resume_state_path} "
+                    f"(step {int(state['step'])})")
     scheduler = ReduceLROnPlateau(lr, patience=3)
 
     court_img = jax.device_put(court_img)
@@ -223,7 +229,7 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
 
-    global_step = 0
+    global_step = int(state["step"])
     for epoch in range(epochs):
         epoch_loss = 0.0
         t0 = time.time()

@@ -31,7 +31,8 @@ def make_optimizer(opt: str, lr: float, weight_decay: float = 0.0,
         if opt == "RMSprop":
             # torch: sq = a*sq + (1-a)*g^2 (a=0.99), u = g/(sqrt(sq)+eps),
             # momentum buffer 0.9
-            parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8))
+            parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8,
+                                             eps_in_sqrt=False))
             parts.append(optax.trace(decay=0.9))
         elif opt == "SGD":
             parts.append(optax.trace(decay=0.9))

@@ -122,6 +122,9 @@ def get_training_args(ret_parser: bool = False, argv=None):
     parser.add_argument("--val_step_n", dest="val_step_n", type=int, default=None)
     parser.add_argument("--cp_dir", dest="cp_dir", type=str, default=None)
     parser.add_argument("--log_dir", dest="log_dir", type=str, default=None)
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="Resume full training state (params + optimizer "
+                             "+ step) from cp_dir/last_state.msgpack")
 
     # Losses:
     parser.add_argument("--rec_loss", type=str, default="MSE")

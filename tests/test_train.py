@@ -194,3 +194,41 @@ def test_data_parallel_shard_map_step(dataset_root):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_resume_restores_optimizer_state(dataset_root, tmp_path):
+    """Interrupted training resumes with optimizer state + step intact."""
+    import yaml
+    from sports_field_homography_tpu.cli.train import main
+    from sports_field_homography_tpu.utils.checkpoint import (
+        load_train_state, save_train_state)
+    from sports_field_homography_tpu.train.loop import init_train_state
+    from sports_field_homography_tpu.train.optim import make_optimizer
+    from sports_field_homography_tpu.cli.engine import build_model
+
+    cp_dir = tmp_path / "cp"
+    cp_dir.mkdir(parents=True)
+    conf = make_conf(dataset_root, cp_dir, tmp_path / "logs")
+    conf_path = tmp_path / "conf.yaml"
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    # fabricate an interrupted state at step 7 with nonzero momentum
+    class A:
+        batchsize = 4
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    opt = make_optimizer("RMSprop", 1e-4, 1e-8)
+    state = init_train_state(bundle.variables, opt)
+    state["step"] = jnp.asarray(7, jnp.int32)
+    save_train_state(str(cp_dir / "last_state.msgpack"), state)
+
+    out_state = main(["-c", str(conf_path), "--resume"])
+    # 8 train imgs / batch 4 = 2 more steps on top of the resumed 7
+    assert int(out_state["step"]) == 9
