@@ -236,3 +236,44 @@ class TestVideoDataset:
         assert s["image"].shape == (18, 32, 3)
         assert s["name"] == "clip/000000"
         assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+
+
+class TestBuildDataset:
+    def test_pipeline_end_to_end(self, tmp_path):
+        import json as _json
+        from sports_field_homography_tpu.prep.build_dataset import build_dataset
+        from sports_field_homography_tpu.geometry.court import load_court_poi
+
+        # synthetic manual annotations: project the real field PoI through a
+        # known homography, mark a few points missing
+        field_poi = load_court_poi(
+            "/root/repo/assets/template_ncaa_v4_points.json", normalize=False)
+        H = np.array([[0.8, 0.05, 0.1], [0.02, 0.7, 0.15], [0.01, 0.02, 1.0]])
+        ones = np.ones((field_poi.shape[0], 1))
+        proj = np.concatenate([field_poi, ones], 1) @ H.T
+        manual = proj[:, :2] / proj[:, 2:3]
+        manual[5:9] = -1.0                         # missing annotations
+
+        game_dir = tmp_path / "anno_src" / "game1"
+        game_dir.mkdir(parents=True)
+        anno = {"000001": {"poi": manual.tolist()},
+                "000002": {"poi": np.full_like(manual, -1.0).tolist()}}  # <4 pts
+        _json.dump(anno, open(game_dir / "manual_anno.json", "w"))
+
+        counts = build_dataset(str(tmp_path / "anno_src"),
+                               "/root/repo/assets/template_ncaa_v4_points.json",
+                               str(tmp_path / "out"),
+                               field_mask_path="/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png",
+                               mask_size=(128, 72))
+        assert counts["game1"] == 1               # frame 2 skipped (<4 points)
+        saved = _json.load(open(tmp_path / "out/anno/game1/000001.json"))
+        assert saved["reproj_mse"] < 1e-6          # exact homography recovered
+        theta = np.asarray(saved["theta"])
+        np.testing.assert_allclose(theta / theta[2, 2], H / H[2, 2], atol=1e-6)
+        poi = np.asarray(saved["poi"])
+        assert poi.shape == (52, 3)
+        assert poi[5, 2] == 0.0 and poi[0, 2] == 1.0
+        from PIL import Image
+        mask = np.array(Image.open(tmp_path / "out/masks/game1/000001.png"))
+        assert mask.shape == (72, 128)
+        assert set(np.unique(mask)).issubset({0, 1, 2, 3})
