@@ -91,17 +91,22 @@ def build_model(args, load: Optional[str] = None,
                                         unet_bilinear=cfg.unet_bilinear)
     elif init_if_missing:
         variables = _init_variables(model, cfg, court_img, court_poi, bs, seed)
+    if variables is not None:
+        # commit params to device ONCE: host-numpy params (e.g. from
+        # msgpack) would otherwise re-upload ~200 MB on every jit call
+        variables = jax.device_put(variables)
     return ModelBundle(model, variables, court_img, court_poi, cfg)
 
 
 def _init_variables(model, cfg, court_img, court_poi, bs, seed):
     w, h = cfg.target_size
     x = jnp.zeros((1, h, w, 3), jnp.float32)
+    ci1 = jnp.asarray(court_img[:1])
+    cp1 = jnp.asarray(court_poi[:1])
     # jit the init: eager tracing executes op-by-op on device (very slow
     # through the TPU tunnel); one compiled program is ~100x faster.
     return jax.jit(lambda: model.init(jax.random.PRNGKey(seed), x,
-                                      court_img[:1], court_poi[:1],
-                                      train=False))()
+                                      ci1, cp1, train=False))()
 
 
 def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool,
@@ -125,16 +130,29 @@ def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool,
     if bundle.config.use_warper and bundle.config.warp_with_nearest:
         try:
             from ..ops.interval_warp import build_interval_table
-            warp_table = build_interval_table(np.asarray(bundle.court_img))
+            # bundle.court_img is host numpy — no D2H here
+            warp_table = build_interval_table(bundle.court_img)
         except (ValueError, AssertionError) as e:
             print(f"interval warp unavailable ({e}); using gather warp")
 
     # court constants ride as jit ARGUMENTS, not closures
     @jax.jit
     def _fn(variables, x, ci, cp, wt):
+        if x.dtype == jnp.uint8:       # device-side normalization (u8/255)
+            # true division: x*(1/255) differs in the last ulp
+            x = x.astype(jnp.float32) / 255.0
         preds = model.apply(variables, x, ci, cp,
                             consistency=consistency, project_poi=project_poi,
                             warp_table=wt, method=model.predict)
+        # device-side compaction: argmax the logits into a uint8 label mask
+        # and narrow the warp labels to uint8 — an 8x/4x cut in D2H bytes
+        # (the reference does the argmax in its transfer worker,
+        # predict.py:94-99; on TPU it belongs in the jitted program)
+        if keep is not None and "segm_mask" in keep and "logits" in preds:
+            preds["segm_mask"] = jnp.argmax(
+                preds["logits"], axis=-1).astype(jnp.uint8)
+        if "warp_mask" in preds:
+            preds["warp_mask"] = preds["warp_mask"].astype(jnp.uint8)
         if keep is not None:
             preds = {k: v for k, v in preds.items() if k in keep}
         return preds

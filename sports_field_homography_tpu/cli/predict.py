@@ -126,7 +126,7 @@ def process(argv=None, num_data_workers: int = 4):
     bundle = build_model(args, load=args.load, warp_with_nearest=True)
     keep = set()
     if "segm_mask" in req_outputs:
-        keep.add("logits")
+        keep.add("segm_mask")       # device-side argmax (uint8)
     if "warp_mask" in req_outputs:
         keep.add("warp_mask")
     if "theta" in req_outputs:
@@ -148,12 +148,12 @@ def process(argv=None, num_data_workers: int = 4):
         data = BasicDataset(ids, args.img_dir, None, None, None,
                             args.mask_classes, use_uv=False,
                             target_size=args.target_size,
-                            keep_orig_img=keep_orig_img)
+                            keep_orig_img=keep_orig_img, raw_uint8=True)
         loader = Loader(data, args.batchsize, shuffle=False,
                         num_workers=num_data_workers)
     else:
         data = VideoDataset(path=args.video_path, target_size=args.target_size,
-                            keep_orig_img=keep_orig_img)
+                            keep_orig_img=keep_orig_img, raw_uint8=True)
         loader = Loader(data, args.batchsize, shuffle=False, num_workers=1)
     n_data = len(data)
 
@@ -318,9 +318,8 @@ def process(argv=None, num_data_workers: int = 4):
         preds = predict(bundle.variables, batch["image"])
         nv = batch["num_valid"]
         host: Dict[str, np.ndarray] = {"name": batch["name"][:nv]}
-        if "segm_mask" in req_outputs and "logits" in preds:
-            host["segm_mask"] = preds_to_masks(
-                np.asarray(preds["logits"][:nv]), args.mask_classes)
+        if "segm_mask" in req_outputs and "segm_mask" in preds:
+            host["segm_mask"] = np.asarray(preds["segm_mask"][:nv])
         if "warp_mask" in req_outputs and "warp_mask" in preds:
             host["warp_mask"] = np.asarray(preds["warp_mask"][:nv]).astype(np.uint8)
         if "theta" in req_outputs and "theta" in preds:

@@ -109,13 +109,20 @@ def preprocess_weight(reproj_mse: float) -> np.ndarray:
 
 class BasicDataset:
     """Image(+mask+anno) dataset over game sub-directories
-    (reference ``utils/dataset.py:99-293``)."""
+    (reference ``utils/dataset.py:99-293``).
+
+    ``raw_uint8``: emit images as uint8 (normalization happens on device:
+    ``u8/255`` in f32 is bit-identical and cuts host->device traffic 4x).
+    Only valid without augmentation.
+    """
 
     def __init__(self, ids: Sequence[str], img_dir: str,
                  mask_dir: Optional[str] = None, anno_dir: Optional[str] = None,
                  anno_keys: Optional[Sequence[str]] = None, num_classes: int = 1,
                  use_uv: bool = False, target_size=(1280, 720), aug=None,
-                 keep_orig_img: bool = False):
+                 keep_orig_img: bool = False, raw_uint8: bool = False):
+        assert not (raw_uint8 and aug is not None)
+        self.raw_uint8 = raw_uint8
         assert (anno_dir is not None and anno_keys is not None) or anno_dir is None
         self.ids = list(ids)
         self.img_dir = img_dir
@@ -155,7 +162,10 @@ class BasicDataset:
             f"Either no json or multiple json found for the ID {name_wo_ext}.json: {anno_file}"
 
         orig_img = Image.open(img_file[0])
-        img = preprocess_img(orig_img, self.target_size)
+        img = preprocess_img(orig_img, self.target_size,
+                             normalize=not self.raw_uint8)
+        if self.raw_uint8:
+            img = img.astype(np.uint8)
 
         mask = uv = None
         if self.use_uv and mask_file is not None:
@@ -206,9 +216,11 @@ class VideoDataset:
     """
 
     def __init__(self, path: str, target_size=(640, 360),
-                 max_frames: Optional[int] = None, keep_orig_img: bool = False):
+                 max_frames: Optional[int] = None, keep_orig_img: bool = False,
+                 raw_uint8: bool = False):
         import cv2
 
+        self.raw_uint8 = raw_uint8
         self.cap = None
         self.path = path
         self.target_size = tuple(target_size)
@@ -252,7 +264,10 @@ class VideoDataset:
                 w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
                 h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
                 frame = np.zeros((h, w, 3), dtype=np.uint8)
-        img = self.preprocess_frame(frame, self.target_size)
+        img = self.preprocess_frame(frame, self.target_size,
+                                    normalize=not self.raw_uint8)
+        if self.raw_uint8:
+            img = img.astype(np.uint8)
         sample = {"image": img, "name": self.name + "/" + str(i).zfill(6)}
         if self.keep_orig_img:
             sample["orig_img"] = frame

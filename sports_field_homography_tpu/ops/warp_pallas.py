@@ -44,11 +44,12 @@ _LANES = 128
 def _kernel(tab_ref, iv_ref, iu_ref, out_ref, *, ht: int, K: int):
     """One (8, 128) query tile -> one (8, 128) output tile."""
     tab = tab_ref[:]                                       # (Ht, 128) bf16
-    row_iota = jax.lax.broadcasted_iota(jnp.float32, (ht, _LANES), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (_LANES, K + 1), 1)
+    # Mosaic iota is integer-only; compare in int32
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ht, _LANES), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, K + 1), 1)
 
     for s in range(_TILE_S):
-        q = iv_ref[s, :]                                   # (128,) f32 rows
+        q = iv_ref[s, :].astype(jnp.int32)                 # (128,) rows
         u = iu_ref[s, :]                                   # (128,) f32 cols
         onehot = (row_iota == q[None, :]).astype(jnp.bfloat16)   # (Ht, 128)
         # rowdata[l, c] = sum_r onehot[r, l] * tab[r, c]
@@ -57,14 +58,13 @@ def _kernel(tab_ref, iv_ref, iu_ref, out_ref, *, ht: int, K: int):
             preferred_element_type=jnp.float32)            # (128, 128)
         bounds = rowdata[:, :K] + rowdata[:, K:2 * K]      # (128, K) exact
         vals = rowdata[:, 2 * K:2 * K + K + 1]             # (128, K+1)
-        idx = jnp.sum((u[:, None] >= bounds).astype(jnp.float32),
-                      axis=1)                              # (128,)
+        idx = jnp.sum((u[:, None] >= bounds).astype(jnp.int32),
+                      axis=1)                              # (128,) int32
         picked = jnp.sum(vals * (col_iota == idx[:, None]).astype(jnp.float32),
                          axis=1)                           # (128,)
         out_ref[s, :] = picked
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "sample_hw", "interpret"))
 def warp_nearest_interval_pallas(table: IntervalTable, theta: jnp.ndarray,
                                  out_hw, sample_hw=None,
                                  interpret: bool = False) -> jnp.ndarray:

@@ -208,8 +208,6 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                     f"(step {int(state['step'])})")
     scheduler = ReduceLROnPlateau(lr, patience=3)
 
-    court_img = jax.device_put(court_img)
-    court_poi = jax.device_put(court_poi)
     warp_table = None
     if model.config.use_warper and not model.config.warp_with_nearest:
         try:
@@ -217,6 +215,8 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
             warp_table = build_interval_table(np.asarray(court_img))
         except (ValueError, AssertionError) as e:
             logger.info(f"interval warp unavailable for training ({e})")
+    court_img = jax.device_put(court_img)
+    court_poi = jax.device_put(court_poi)
     if mesh is not None:
         from ..parallel.mesh import shard_train_step
         # cross-replica BN: per-shard batch stats pmean-reduced over 'data'
