@@ -8,6 +8,7 @@ from .homography import (
 )
 from .warp import normalized_grid, warp_grid, grid_sample, warp_homography
 from .court import (
+    Warper,
     CourtSizes,
     CourtMapping,
     FrameMapping,

@@ -11,6 +11,7 @@ import json
 import numpy as np
 
 __all__ = [
+    "Warper",
     "CourtSizes",
     "FrameMapping",
     "CourtMapping",
@@ -160,3 +161,33 @@ def map_court_to_frame(theta_c2f, court_loc, court_size=None):
         court_loc[:, 0] = (court_loc[:, 0] / court_size[0] - 0.5) * 2.0
         court_loc[:, 1] = (court_loc[:, 1] / court_size[1] - 0.5) * 2.0
     return transform_poi_np(theta_c2f, court_loc, normalize=True)
+
+
+class Warper:
+    """Numpy-facing nearest homography warper (reference ``utils/transform.py:7-20``).
+
+    Wraps the jitted JAX warp for downstream host-side consumers: takes an
+    (H, W, C) numpy projection image + a 3x3 numpy theta, returns numpy.
+    """
+
+    def __init__(self, size, cuda=None):  # `cuda` kept for API parity; unused
+        self.size = tuple(size)           # (W, H)
+        self._fn = None
+
+    def warp(self, theta: np.ndarray, proj: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from .warp import warp_homography
+
+        if self._fn is None:
+            w, h = self.size
+
+            @jax.jit
+            def fn(img, th):
+                return warp_homography(img, th, (h, w), mode="nearest")
+
+            self._fn = fn
+        img = jnp.asarray(np.asarray(proj, np.float32))[None]
+        th = jnp.asarray(np.asarray(theta, np.float32))[None]
+        return np.asarray(self._fn(img, th)[0])
