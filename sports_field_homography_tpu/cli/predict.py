@@ -312,6 +312,11 @@ def process(argv=None, num_data_workers: int = 4):
     writer_thread.start()
 
     # --- device loop -------------------------------------------------------
+    try:
+        from tqdm import tqdm
+        pbar = tqdm(total=n_data, desc="Processing", unit="img")
+    except ImportError:
+        pbar = None
     t_start = time.time()
     n_done = 0
     for batch in device_prefetch(iter(loader), depth=2):
@@ -334,7 +339,11 @@ def process(argv=None, num_data_workers: int = 4):
             raise writer_state["error"]
         out_q.put(host)
         n_done += nv
+        if pbar is not None:
+            pbar.update(nv)
 
+    if pbar is not None:
+        pbar.close()
     out_q.put(None)
     writer_thread.join()
     if writer_state["error"] is not None:

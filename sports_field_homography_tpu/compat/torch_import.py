@@ -19,7 +19,8 @@ from typing import Dict, Mapping
 
 import numpy as np
 
-__all__ = ["convert_state_dict", "load_torch_checkpoint"]
+__all__ = ["convert_state_dict", "load_torch_checkpoint",
+           "convert_torchvision_resnet"]
 
 _BN_KEYS = {"weight": ("params", "scale"), "bias": ("params", "bias"),
             "running_mean": ("batch_stats", "mean"),
@@ -109,10 +110,11 @@ def convert_state_dict(sd: Mapping[str, "object"],
                     _conv(out, r + (fname, "downsample_conv"), sd, f"{tname}.downsample.0")
                     _bn(out, r + (fname, "downsample_bn"), sd, f"{tname}.downsample.1")
                 bi += 1
-        _set(out, ("params",) + r + ("reg", "kernel"),
-             _to_np(sd["resnet_reg.reg.weight"]).T)
-        _set(out, ("params",) + r + ("reg", "bias"),
-             _to_np(sd["resnet_reg.reg.bias"]))
+        if "resnet_reg.reg.weight" in sd:   # absent in warm-start dicts
+            _set(out, ("params",) + r + ("reg", "kernel"),
+                 _to_np(sd["resnet_reg.reg.weight"]).T)
+            _set(out, ("params",) + r + ("reg", "bias"),
+                 _to_np(sd["resnet_reg.reg.bias"]))
 
     return out
 
@@ -123,3 +125,28 @@ def load_torch_checkpoint(path: str, unet_bilinear: bool = False) -> Dict:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_state_dict(sd, unet_bilinear=unet_bilinear)
+
+
+def convert_torchvision_resnet(sd: Mapping[str, "object"]) -> Dict:
+    """Convert a *torchvision* ResNet state_dict for STN warm-starting.
+
+    The reference warm-starts its STN from torchvision weights with
+    ``strict=False`` (``models/resnet.py:265-270``): torchvision's
+    ``conv1`` and ``fc`` don't match its ``conv0``/``reg`` and are
+    dropped; everything else loads.  We reproduce that: remap keys into
+    the reference naming (``resnet_reg.*``), drop ``fc``, and skip
+    ``conv1`` (its in-channels rarely match the STN input).
+    """
+    remapped = {}
+    for k, v in sd.items():
+        if k.startswith("fc.") or k.startswith("conv1."):
+            continue
+        remapped["resnet_reg." + k] = v
+    return convert_state_dict(remapped)
+
+
+def load_torchvision_resnet(path: str) -> Dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_torchvision_resnet(sd)

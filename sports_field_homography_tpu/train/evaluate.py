@@ -146,3 +146,43 @@ def eval_reconstructor(model, variables, loader, court_img, court_poi,
         if np.ndim(last["_uv"]):
             result["uv_masks"] = np.asarray(last["_uv"])
     return result
+
+
+def eval_net(model, variables, loader, n_classes: int,
+             court_img=None, court_poi=None):
+    """Legacy dice/CE evaluation for a segmentation-only UNet
+    (reference ``eval.py:7-39``)."""
+    from ..models.losses import cross_entropy_map, dice_coeff
+
+    tot = 0.0
+    n_val = 0
+    for batch in loader:
+        logits = model.apply(variables, batch["image"], train=False)
+        mask = jnp.asarray(batch["mask"])
+        if n_classes > 1:
+            tot += float(jnp.mean(cross_entropy_map(logits, mask.astype(jnp.int32))))
+        else:
+            pred = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+            tot += float(dice_coeff(pred, mask.astype(jnp.float32)))
+        n_val += 1
+    return {"val_score": tot / max(n_val, 1)}
+
+
+def eval_stn(model, variables, loader, template, n_classes: int):
+    """Legacy UNet+STN evaluation (reference ``eval.py:42-75``)."""
+    from ..models.losses import cross_entropy_map, mse_map
+
+    ce_score = mse_score = 0.0
+    n_val = 0
+    for batch in loader:
+        logits, proj = model.apply(variables, batch["image"], template,
+                                   train=False)
+        mask_i = jnp.asarray(batch["mask"]).astype(jnp.int32)
+        ce_score += float(jnp.mean(cross_entropy_map(logits, mask_i)))
+        gt_f = mask_i.astype(jnp.float32) / float(n_classes)
+        mse_score += float(jnp.mean(mse_map(proj, gt_f)))
+        n_val += 1
+    n = max(n_val, 1)
+    return {"val_tot_score": (ce_score + mse_score) / n,
+            "val_ce_score": ce_score / n,
+            "val_mse_score": mse_score / n}

@@ -229,16 +229,26 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
 
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        tqdm = None
+
     global_step = int(state["step"])
     for epoch in range(epochs):
         epoch_loss = 0.0
         t0 = time.time()
+        pbar = (tqdm(total=n_train, desc=f"Epoch {epoch + 1}/{epochs}",
+                     unit="img") if tqdm is not None else None)
         for batch in train_loader:
             state, logs = step_fn(state, batch, court_img, court_poi,
                                   warp_table)
             global_step += 1
             if state_holder is not None:   # expose for SIGTERM interrupt save
                 state_holder["state"] = state
+            if pbar is not None:
+                pbar.update(len(batch["image"]))
+                pbar.set_postfix(loss=float(logs["Tot_loss"]))
 
             if writer is not None:
                 for k, v in logs.items():
@@ -288,6 +298,8 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                     _tb_images(writer, result, model.config.mask_classes,
                                global_step)
 
+        if pbar is not None:
+            pbar.close()
         logger.info("Epoch {} done in {:.1f}s, loss {:.4f}".format(
             epoch + 1, time.time() - t0, epoch_loss))
 

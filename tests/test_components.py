@@ -277,3 +277,15 @@ class TestBuildDataset:
         mask = np.array(Image.open(tmp_path / "out/masks/game1/000001.png"))
         assert mask.shape == (72, 128)
         assert set(np.unique(mask)).issubset({0, 1, 2, 3})
+
+
+def test_legacy_unet_stn_shapes():
+    from sports_field_homography_tpu.models.legacy import UNetSTN
+
+    x = jnp.zeros((1, 360, 640, 3))
+    tmpl = jnp.zeros((1, 360, 640, 1))
+    m = UNetSTN(n_classes=4, bilinear=True)
+    v = m.init(jax.random.PRNGKey(0), x, tmpl)
+    logits, proj = m.apply(v, x, tmpl)
+    assert logits.shape == (1, 360, 640, 4)
+    assert proj.shape == (1, 360, 640)

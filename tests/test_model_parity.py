@@ -206,3 +206,36 @@ def test_exotic_resnet_variants(resnet_name):
         ref_theta = ref(torch.from_numpy(x_np.transpose(0, 3, 1, 2))).numpy()
     theta = model.apply(variables, jnp.asarray(x_np), False)
     assert np.abs(np.asarray(theta) - ref_theta).max() <= 2e-4
+
+
+def test_torchvision_warmstart_conversion():
+    """torchvision-style ResNet weights warm-start the STN like the
+    reference's strict=False load: layers+bn load, conv1/fc dropped.
+
+    torchvision isn't installed; synthesize its exact naming from the
+    reference ResNetSTN state_dict (conv0->conv1, reg->fc)."""
+    from sports_field_homography_tpu.compat.torch_import import (
+        convert_torchvision_resnet)
+
+    torch.manual_seed(2)
+    ref = ref_resnet.resnet_stn("resnet18", None, 4)
+    sd = ref.state_dict()
+    tv_sd = {}
+    for k, v in sd.items():
+        if k.startswith("conv0."):
+            tv_sd["conv1." + k[len("conv0."):]] = v
+        elif k.startswith("reg."):
+            tv_sd["fc." + k[len("reg."):]] = v
+        else:
+            tv_sd[k] = v
+
+    pre = convert_torchvision_resnet(tv_sd)
+    params = pre["params"]["resnet_reg"]
+    stats = pre["batch_stats"]["resnet_reg"]
+    assert "conv0" not in params and "reg" not in params   # dropped
+    assert "layer1_0" in params and "bn1" in params
+    np.testing.assert_array_equal(
+        params["layer1_0"]["conv1"]["kernel"],
+        sd["layer1.0.conv1.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(stats["bn1"]["mean"],
+                                  sd["bn1.running_mean"].numpy())
