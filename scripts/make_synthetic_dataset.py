@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Generate a synthetic court-homography dataset for training smoke runs.
+
+Frames are renders of the NCAA template warped by realistic broadcast-
+camera homographies (plus noise/background), masks are the warped label
+maps, PoI are the projected court points — so ground truth is exact and a
+working training loop must drive reprojection error down.
+
+Usage:
+  python scripts/make_synthetic_dataset.py --dst /tmp/synth --n 512 \
+      [--size 320 180] [--val_frac 0.1]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sports_field_homography_tpu.geometry.court import load_court_poi  # noqa: E402
+from sports_field_homography_tpu.geometry.warp import warp_homography  # noqa: E402
+from sports_field_homography_tpu.utils.postprocess import onehot_to_image  # noqa: E402
+
+TEMPLATE = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
+POI = "/root/repo/assets/template_ncaa_v4_points.json"
+BASE_THETA = np.array([[1.4, 0.1, 0.05], [0.02, 2.2, 0.6], [0.01, 0.9, 1.0]])
+
+
+def sample_theta(rng):
+    n = rng.randn(3, 3) * np.array([[.15, .05, .1], [.05, .3, .15],
+                                    [.005, .1, .05]])
+    return (BASE_THETA + n).astype(np.float32)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--size", nargs=2, type=int, default=(320, 180))
+    ap.add_argument("--val_frac", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    # host-side data prep: run on CPU (TPU compiles via the tunnel are slow)
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    w, h = args.size
+    tmpl = np.array(Image.open(TEMPLATE).resize((w, h), Image.NEAREST),
+                    np.float32)
+    if tmpl.ndim == 3:
+        tmpl = tmpl[..., 0]
+    tmpl = tmpl / 4.0
+    poi = load_court_poi(POI)                       # [-1, 1]
+    rng = np.random.RandomState(args.seed)
+
+    warp = jax.jit(lambda t, th: warp_homography(t, th, (h, w), "nearest"))
+    tmpl_b = jnp.asarray(np.tile(tmpl[None, :, :, None], (32, 1, 1, 1)))
+
+    n_val = max(1, int(args.n * args.val_frac))
+    splits = [("train_game", args.n - n_val), ("val_game", n_val)]
+    idx = 0
+    for game, count in splits:
+        for d in ("frames", "masks", "anno"):
+            os.makedirs(os.path.join(args.dst, d, game), exist_ok=True)
+        remaining = count
+        while remaining > 0:
+            bs = min(32, remaining)
+            thetas = np.stack([sample_theta(rng) for _ in range(bs)])
+            labels = np.asarray(warp(tmpl_b[:bs], jnp.asarray(thetas)))[..., 0]
+            labels = np.round(labels * 4).astype(np.uint8)
+            from sports_field_homography_tpu.geometry.homography import (
+                inverse_3x3, transform_points)
+            inv = np.asarray(inverse_3x3(jnp.asarray(thetas)))
+            pts = np.asarray(transform_points(
+                jnp.asarray(inv), jnp.asarray(
+                    np.tile(poi[None], (bs, 1, 1)).astype(np.float32))))
+            pts01 = pts / 2.0 + 0.5
+            for i in range(bs):
+                name = f"{idx:06d}"
+                rgb = onehot_to_image(labels[i], 4)[0].astype(np.float32)
+                # light texture + noise so segmentation isn't trivial
+                yy = np.linspace(0, 40, h, dtype=np.float32)[:, None, None]
+                frame = np.clip(rgb * 0.7 + 40 + yy
+                                + rng.randn(h, w, 3) * 12, 0, 255)
+                Image.fromarray(frame.astype(np.uint8)).save(
+                    os.path.join(args.dst, "frames", game, name + ".png"))
+                Image.fromarray(labels[i]).save(
+                    os.path.join(args.dst, "masks", game, name + ".png"))
+                visible = ((pts01[i, :, 0] > 0) & (pts01[i, :, 0] < 1)
+                           & (pts01[i, :, 1] > 0) & (pts01[i, :, 1] < 1))
+                anno_poi = np.concatenate(
+                    [np.clip(pts01[i], 0, 1),
+                     visible[:, None].astype(np.float64)], axis=1)
+                with open(os.path.join(args.dst, "anno", game,
+                                       name + ".json"), "w") as f:
+                    json.dump({"poi": anno_poi.tolist(),
+                               "reproj_mse": 0.0001}, f)
+                idx += 1
+            remaining -= bs
+    print(f"wrote {idx} samples to {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
