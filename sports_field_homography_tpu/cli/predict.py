@@ -135,8 +135,26 @@ def process(argv=None, num_data_workers: int = 4):
         keep.add("consist_score")
     if project_poi:
         keep.add("poi")
-    predict = jit_predict_fn(bundle, consistency=consistency,
-                             project_poi=project_poi, keep=tuple(keep))
+    if args.num_devices is not None and args.num_devices > 1:
+        # multi-chip data-parallel inference: batch sharded over the mesh
+        from ..parallel.mesh import make_mesh, shard_predict_fn
+        mesh = make_mesh(args.num_devices)
+        sharded_fn, in_sharding, repl = shard_predict_fn(
+            bundle.model, mesh, bundle.court_img, bundle.court_poi,
+            consistency=consistency, project_poi=project_poi)
+        bundle.variables = jax.device_put(bundle.variables, repl)
+
+        def predict(variables, x):
+            preds = sharded_fn(variables, x)
+            if keep:
+                preds = {k: v for k, v in preds.items() if k in keep
+                         or (k == "logits" and "segm_mask" in keep)}
+            return preds
+        logger_note = f"data-parallel inference over {mesh}"
+        print(logger_note)
+    else:
+        predict = jit_predict_fn(bundle, consistency=consistency,
+                                 project_poi=project_poi, keep=tuple(keep))
 
     # dataset (reference predict.py:210-227)
     assert args.img_dir is not None or args.video_path is not None, \
@@ -325,6 +343,9 @@ def process(argv=None, num_data_workers: int = 4):
         host: Dict[str, np.ndarray] = {"name": batch["name"][:nv]}
         if "segm_mask" in req_outputs and "segm_mask" in preds:
             host["segm_mask"] = np.asarray(preds["segm_mask"][:nv])
+        elif "segm_mask" in req_outputs and "logits" in preds:
+            host["segm_mask"] = preds_to_masks(
+                np.asarray(preds["logits"][:nv]), args.mask_classes)
         if "warp_mask" in req_outputs and "warp_mask" in preds:
             host["warp_mask"] = np.asarray(preds["warp_mask"][:nv]).astype(np.uint8)
         if "theta" in req_outputs and "theta" in preds:

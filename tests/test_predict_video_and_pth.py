@@ -191,3 +191,71 @@ def test_soccer_pitch_variant_predict(tmp_path):
     v = out["000000"]
     assert np.asarray(v["poi"]).shape == (33, 2)     # pitch has 33 PoI
     assert len(os.listdir(tmp_path / "out" / "court" / "warp_mask")) == 3
+
+
+def test_predict_cli_num_devices(tmp_path):
+    """--num_devices shards CLI inference over the virtual 8-device mesh."""
+    from PIL import Image
+    from sports_field_homography_tpu.cli.predict import process
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.utils.checkpoint import save_checkpoint
+
+    img_dir = tmp_path / "frames"
+    img_dir.mkdir()
+    rng = np.random.RandomState(9)
+    for i in range(16):
+        Image.fromarray(rng.randint(0, 255, (H, W, 3), dtype=np.uint8)).save(
+            img_dir / f"{i:06d}.png")
+    cp_dir = tmp_path / "ckpt"
+    cp_dir.mkdir()
+    write_conf(cp_dir)
+
+    class A:
+        batchsize = 8
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    save_checkpoint(str(cp_dir / "CP_epoch1.msgpack"), bundle.variables)
+
+    process(common_argv(cp_dir / "CP_epoch1.msgpack", tmp_path / "out",
+                        "theta,consistency",
+                        extra=["--img_dir", str(img_dir),
+                               "--num_devices", "8", "--batchsize", "8"]))
+    out = json.load(open(tmp_path / "out" / "frames_court.json"))
+    assert len([k for k in out if k != "model"]) == 16
+
+
+def test_spatial_forward_matches_replicated():
+    """H-axis GSPMD sharding must not change the forward outputs."""
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.parallel.mesh import (
+        make_mesh, spatial_forward_fn)
+
+    class A:
+        batchsize = 4
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    mesh = make_mesh(8, spatial=2)     # 4-way data x 2-way spatial
+    fn = spatial_forward_fn(bundle.model, mesh, bundle.court_img,
+                            bundle.court_poi, train=False)
+    x = np.random.RandomState(3).rand(4, H, W, 3).astype(np.float32)
+    out = fn(bundle.variables, jnp.asarray(x))
+
+    ref = bundle.model.apply(bundle.variables, jnp.asarray(x),
+                             jnp.asarray(bundle.court_img),
+                             jnp.asarray(bundle.court_poi), train=False)
+    np.testing.assert_allclose(np.asarray(out["theta"]),
+                               np.asarray(ref["theta"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]), rtol=1e-3, atol=1e-4)
