@@ -115,3 +115,19 @@ def test_subsampled_warp_equals_warp_then_nearest_resize():
     fused = np.asarray(warp_nearest_interval(table, theta, (180, 320),
                                              sample_hw=(90, 160)))
     np.testing.assert_array_equal(fused, down)
+
+
+def test_two_pass_fast_warp_close_to_exact():
+    """The optional 2-pass aligned-gather warp (fast_warp config flag)
+    deviates only on knife-edge pixels for broadcast-style thetas."""
+    from sports_field_homography_tpu.geometry.warp import (
+        warp_homography_nearest_2pass)
+
+    tmpl = load(NCAA, size=(320, 180))
+    b = 4
+    src = jnp.asarray(np.tile(tmpl[None, :, :, None], (b, 1, 1, 1)))
+    theta = realistic_thetas(b, seed=11)
+    exact = np.asarray(warp_homography(src, theta, (180, 320), "nearest"))
+    fast = np.asarray(warp_homography_nearest_2pass(src, theta, (180, 320)))
+    mismatch = (np.abs(exact - fast) > 1e-6).mean()
+    assert mismatch < 0.005, mismatch
