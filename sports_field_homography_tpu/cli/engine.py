@@ -9,9 +9,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
-
-import numpy as np
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +30,8 @@ def _dtype_from_str(name: str):
 class ModelBundle:
     model: Reconstructor
     variables: Dict[str, Any]
-    court_img: jnp.ndarray
-    court_poi: jnp.ndarray
+    court_img: Any          # host numpy (device_put at use sites)
+    court_poi: Any
     config: ReconstructorConfig
 
 

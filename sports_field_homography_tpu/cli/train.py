@@ -11,8 +11,6 @@ import signal
 import sys
 from shutil import copyfile
 
-import jax
-
 from ..data.dataset import BasicDataset, split_on_train_val
 from ..data.loader import Loader
 from ..train.loop import LossConfig, train_net

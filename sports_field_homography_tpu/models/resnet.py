@@ -13,7 +13,7 @@ exactly the reference's re-initialization (:189-194).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
