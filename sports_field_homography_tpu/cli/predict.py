@@ -324,7 +324,7 @@ def process(argv=None, num_data_workers: int = 4):
         dst_subdir = os.path.join(args.dst_dir, "court/debug")
         os.makedirs(dst_subdir, exist_ok=True)
         cv2.imwrite(os.path.join(dst_subdir, name + ".jpeg"), debug_img,
-                    [__import__("cv2").IMWRITE_JPEG_QUALITY, 90])
+                    [cv2.IMWRITE_JPEG_QUALITY, 90])
 
     writer_thread = threading.Thread(target=writer_loop, daemon=True)
     writer_thread.start()
