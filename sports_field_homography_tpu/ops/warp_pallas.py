@@ -9,19 +9,30 @@ VMEM/registers.
 
 Layout strategy (no cross-lane reshapes):
   * queries (rounded source row `iv` and column `iu` per output pixel) are
-    fed as (8, 128) tiles — the natural f32 vreg shape;
-  * per tile sublane s, the one-hot of its 128 lane-queries is built
-    *transposed*: onehot[r, l] = (r == iv[s, l]), shape (Ht, 128), from a
-    broadcasted iota — pure VPU compares;
+    fed as (1, 1024) lane-major tiles — 8 vregs wide, so the whole tile's
+    one-hot builds in one broadcasted compare and feeds ONE MXU dot with
+    M=1024 (an earlier (8, 128) variant ran 8 small dots and was ~4x
+    slower);
+  * the one-hot is built *transposed*: onehot[r, q] = (r == iv[q]),
+    shape (Ht, 1024), from an integer iota — pure VPU compares;
   * rowdata = onehot^T @ table via ``dot_general`` contracting dim 0 of
-    both operands -> (128 queries, 128 table cols) on the MXU;
-  * interval search + value pick are VPU compares/sums per sublane.
+    both operands -> (1024 queries, 128 table cols) on the MXU;
+  * interval search + value pick are (1024, K) VPU compares/sums.
 
-The whole (Ht, 128) table lives in VMEM (<=184 KB at 720 rows).
+The whole (Ht, 128) table lives in VMEM (<=184 KB at 720 rows); the
+per-tile one-hot is ~1.5 MB of VMEM and never touches HBM.
 
 Encoding matches ``interval_warp.IntervalTable`` (bound_hi | bound_lo |
 scaled values, bf16-exact); results are bit-identical to
 ``warp_nearest_interval`` (tested in interpret mode and on device).
+
+Status: when XLA fuses its one-hot (the current production programs do),
+the XLA formulation is ~2.5x faster (13 vs 35 ms @640x360 batch 32: XLA
+overlaps the VPU one-hot build with the MXU dots across stripes; this
+kernel runs them serially per stripe).  This kernel is the guaranteed-
+fusion fallback for program contexts where XLA materializes the one-hot
+to HBM (25x regression observed before the consistency-subsample rework);
+software-pipelining the stripes is the open improvement (ROADMAP.md).
 """
 from __future__ import annotations
 
@@ -37,31 +48,37 @@ from .interval_warp import IntervalTable, _warp_grid_subsampled
 
 __all__ = ["warp_nearest_interval_pallas"]
 
-_TILE_S = 8            # sublanes per tile (f32 vreg)
+_TILE_Q = 1024         # queries per tile (8 vregs wide, lane-major)
 _LANES = 128
 
 
+_BLOCK_ROWS = 8        # sublane divisibility requirement for block specs
+
+
 def _kernel(tab_ref, iv_ref, iu_ref, out_ref, *, ht: int, K: int):
-    """One (8, 128) query tile -> one (8, 128) output tile."""
+    """One (8, 1024) query block -> one (8, 1024) output block.
+
+    Each of the 8 rows is an independent 1024-query stripe; each stripe is
+    ONE M=1024 MXU dot (vs 8 M=128 dots in the first kernel iteration,
+    which ran ~4x slower)."""
     tab = tab_ref[:]                                       # (Ht, 128) bf16
     # Mosaic iota is integer-only; compare in int32
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ht, _LANES), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, K + 1), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE_Q, ht), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE_Q, K + 1), 1)
 
-    for s in range(_TILE_S):
-        q = iv_ref[s, :].astype(jnp.int32)                 # (128,) rows
-        u = iu_ref[s, :]                                   # (128,) f32 cols
-        onehot = (row_iota == q[None, :]).astype(jnp.bfloat16)   # (Ht, 128)
-        # rowdata[l, c] = sum_r onehot[r, l] * tab[r, c]
-        rowdata = jax.lax.dot_general(
-            onehot, tab, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (128, 128)
-        bounds = rowdata[:, :K] + rowdata[:, K:2 * K]      # (128, K) exact
-        vals = rowdata[:, 2 * K:2 * K + K + 1]             # (128, K+1)
+    for s in range(_BLOCK_ROWS):
+        q = iv_ref[s, :].astype(jnp.int32)                 # (1024,) rows
+        u = iu_ref[s, :]                                   # (1024,) f32 cols
+        # MXU-natural orientation: onehot (M=1024, K=Ht) @ tab (Ht, 128)
+        onehot = (row_iota == q[:, None]).astype(jnp.bfloat16)  # (1024, Ht)
+        rowdata = jnp.dot(onehot, tab,
+                          preferred_element_type=jnp.float32)   # (1024, 128)
+        bounds = rowdata[:, :K] + rowdata[:, K:2 * K]      # (1024, K) exact
+        vals = rowdata[:, 2 * K:2 * K + K + 1]             # (1024, K+1)
         idx = jnp.sum((u[:, None] >= bounds).astype(jnp.int32),
-                      axis=1)                              # (128,) int32
+                      axis=1)                              # (1024,) int32
         picked = jnp.sum(vals * (col_iota == idx[:, None]).astype(jnp.float32),
-                         axis=1)                           # (128,)
+                         axis=1)                           # (1024,)
         out_ref[s, :] = picked
 
 
@@ -89,18 +106,18 @@ def warp_nearest_interval_pallas(table: IntervalTable, theta: jnp.ndarray,
     ivc = jnp.clip(iv, 0, ht - 1)
     iuc = jnp.clip(iu, 0, wt - 1)
 
-    # lay queries out as (n_tiles*8, 128)
+    # lay queries out lane-major: (n_rows, 1024), n_rows % 8 == 0
     q_total = b * ho * wo
-    tile_q = _TILE_S * _LANES
-    pad = (-q_total) % tile_q
+    block_q = _BLOCK_ROWS * _TILE_Q
+    pad = (-q_total) % block_q
     def to_tiles(a):
         flat = a.reshape(-1)
         if pad:
             flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
-        return flat.reshape(-1, _LANES)
+        return flat.reshape(-1, _TILE_Q)
     iv_t = to_tiles(ivc)
     iu_t = to_tiles(iuc)
-    n_tiles = iv_t.shape[0] // _TILE_S
+    n_blocks = iv_t.shape[0] // _BLOCK_ROWS
 
     # pad table cols (3K+1 -> 128 lanes); zeros are inert for all fields
     tab = table.table
@@ -109,17 +126,17 @@ def warp_nearest_interval_pallas(table: IntervalTable, theta: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_kernel, ht=ht, K=K),
-        grid=(n_tiles,),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # table
-            pl.BlockSpec((_TILE_S, _LANES), lambda i: (i, 0),
+            pl.BlockSpec((_BLOCK_ROWS, _TILE_Q), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                 # iv
-            pl.BlockSpec((_TILE_S, _LANES), lambda i: (i, 0),
+            pl.BlockSpec((_BLOCK_ROWS, _TILE_Q), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                 # iu
         ],
-        out_specs=pl.BlockSpec((_TILE_S, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BLOCK_ROWS, _TILE_Q), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * _TILE_S, _LANES),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * _BLOCK_ROWS, _TILE_Q),
                                        jnp.float32),
         interpret=interpret,
     )(tab, iv_t, iu_t)
