@@ -27,7 +27,7 @@ scaled values, bf16-exact); results are bit-identical to
 ``warp_nearest_interval`` (tested in interpret mode and on device).
 
 Status: when XLA fuses its one-hot (the current production programs do),
-the XLA formulation is ~2.5x faster (13 vs 35 ms @640x360 batch 32: XLA
+the XLA formulation is ~2.5x faster (13 vs 34 ms @640x360 batch 32: XLA
 overlaps the VPU one-hot build with the MXU dots across stripes; this
 kernel runs them serially per stripe).  This kernel is the guaranteed-
 fusion fallback for program contexts where XLA materializes the one-hot
@@ -66,13 +66,20 @@ def _kernel(tab_ref, iv_ref, iu_ref, out_ref, *, ht: int, K: int):
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE_Q, ht), 1)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE_Q, K + 1), 1)
 
-    for s in range(_BLOCK_ROWS):
+    def make_onehot(s):
         q = iv_ref[s, :].astype(jnp.int32)                 # (1024,) rows
-        u = iu_ref[s, :]                                   # (1024,) f32 cols
         # MXU-natural orientation: onehot (M=1024, K=Ht) @ tab (Ht, 128)
-        onehot = (row_iota == q[:, None]).astype(jnp.bfloat16)  # (1024, Ht)
+        return (row_iota == q[:, None]).astype(jnp.bfloat16)    # (1024, Ht)
+
+    # software pipeline: emit stripe s+1's one-hot (VPU) before consuming
+    # stripe s's dot so the scheduler can overlap VPU and MXU work
+    onehot = make_onehot(0)
+    for s in range(_BLOCK_ROWS):
         rowdata = jnp.dot(onehot, tab,
                           preferred_element_type=jnp.float32)   # (1024, 128)
+        if s + 1 < _BLOCK_ROWS:
+            onehot = make_onehot(s + 1)
+        u = iu_ref[s, :]                                   # (1024,) f32 cols
         bounds = rowdata[:, :K] + rowdata[:, K:2 * K]      # (1024, K) exact
         vals = rowdata[:, 2 * K:2 * K + K + 1]             # (1024, K+1)
         idx = jnp.sum((u[:, None] >= bounds).astype(jnp.int32),
