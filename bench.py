@@ -39,6 +39,16 @@ def main():
     import numpy as np
     from sports_field_homography_tpu.ops.interval_warp import build_interval_table
 
+    if "--no_fold_bn" not in sys.argv:
+        # production predict folds BN into the conv weights (exactly
+        # equivalent at inference; ops/fold_bn.py) and skips the
+        # normalization in the graph
+        from sports_field_homography_tpu.ops.fold_bn import fold_batchnorm
+        # fold returns host numpy; commit to device ONCE (host params as
+        # jit args re-upload ~100 MB per dispatch on the tunnel)
+        variables = jax.device_put(fold_batchnorm(jax.device_get(variables)))
+        model = model.clone(bn_folded=True)
+
     court_img = jax.device_put(court_img)
     court_poi = jax.device_put(court_poi)
     warp_table = build_interval_table(np.asarray(court_img))

@@ -54,7 +54,8 @@ def build_model(args, load: Optional[str] = None,
                 warp_with_nearest: bool = False,
                 batch_size: Optional[int] = None,
                 init_if_missing: bool = True,
-                seed: int = 0) -> ModelBundle:
+                seed: int = 0,
+                fold_bn: bool = False) -> ModelBundle:
     """Construct Reconstructor + court constants from parsed CLI args."""
     _enable_persistent_compile_cache()
     bs = batch_size if batch_size is not None else args.batchsize
@@ -75,9 +76,11 @@ def build_model(args, load: Optional[str] = None,
     dtype = _dtype_from_str(getattr(args, "compute_dtype", "bfloat16"))
     model = Reconstructor(cfg, dtype=dtype)
 
-    court_img = open_court_template(args.court_img, num_classes=args.mask_classes,
+    from ..utils.config import resolve_asset
+    court_img = open_court_template(resolve_asset(args.court_img),
+                                    num_classes=args.mask_classes,
                                     size=args.court_size, batch_size=bs)
-    court_poi = open_court_poi(args.court_poi, bs)
+    court_poi = open_court_poi(resolve_asset(args.court_poi), bs)
 
     variables = None
     if load is not None:
@@ -89,6 +92,13 @@ def build_model(args, load: Optional[str] = None,
                                         unet_bilinear=cfg.unet_bilinear)
     elif init_if_missing:
         variables = _init_variables(model, cfg, court_img, court_poi, bs, seed)
+    if fold_bn and variables is not None and variables.get("batch_stats"):
+        # inference-only: fold running BN stats into the conv weights and
+        # switch the model's BatchNorms to the degenerate x+bias path
+        # (exactly equivalent — see ops/fold_bn.py)
+        from ..ops.fold_bn import fold_batchnorm
+        variables = fold_batchnorm(variables)
+        model = model.clone(bn_folded=True)
     if variables is not None:
         # commit params to device ONCE: host-numpy params (e.g. from
         # msgpack) would otherwise re-upload ~200 MB on every jit call
@@ -108,7 +118,7 @@ def _init_variables(model, cfg, court_img, court_poi, bs, seed):
 
 
 def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool,
-                   keep=None):
+                   keep=None, mesh=None):
     """Jitted ``Reconstructor.predict`` with static output pruning.
 
     ``keep``: tuple of output keys to return (None = all).  Pruning inside
@@ -117,10 +127,23 @@ def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool,
     on tunneled runtimes that ship jit outputs eagerly — the 100+ MB
     logits/warp_mask buffers never cross the wire (measured 7.5 s/batch
     -> 0.2 s/batch for the theta+consistency config at out_size 1280x720).
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with a leading ``data``
+    axis.  When given, the input batch is constrained to ``P('data')``
+    (pure data-parallel inference, no collectives) and the court constants
+    + interval warp table are replicated across the mesh.  Single-chip and
+    multi-chip inference share this one jitted body, so every device-side
+    optimization (uint8 /255, gather-free warp, argmax narrowing, keep
+    pruning) applies identically on both paths.
     """
     model = bundle.model
-    court_img = jax.device_put(bundle.court_img)
-    court_poi = jax.device_put(bundle.court_poi)
+    in_sharding = repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        in_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+    court_img = jax.device_put(bundle.court_img, repl)
+    court_poi = jax.device_put(bundle.court_poi, repl)
 
     # Interval-encode the template for the gather-free nearest warp
     # (ops/interval_warp): bit-exact and ~20x faster than the XLA gather.
@@ -130,12 +153,16 @@ def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool,
             from ..ops.interval_warp import build_interval_table
             # bundle.court_img is host numpy — no D2H here
             warp_table = build_interval_table(bundle.court_img)
+            if repl is not None:
+                warp_table = jax.device_put(warp_table, repl)
         except (ValueError, AssertionError) as e:
             print(f"interval warp unavailable ({e}); using gather warp")
 
     # court constants ride as jit ARGUMENTS, not closures
     @jax.jit
     def _fn(variables, x, ci, cp, wt):
+        if in_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, in_sharding)
         if x.dtype == jnp.uint8:       # device-side normalization (u8/255)
             # true division: x*(1/255) differs in the last ulp
             x = x.astype(jnp.float32) / 255.0

@@ -123,7 +123,8 @@ def process(argv=None, num_data_workers: int = 4):
 
     logger = get_logger(format="%(message)s", write_date=False)
 
-    bundle = build_model(args, load=args.load, warp_with_nearest=True)
+    bundle = build_model(args, load=args.load, warp_with_nearest=True,
+                         fold_bn=bool(getattr(args, "fold_bn", 1)))
     keep = set()
     if "segm_mask" in req_outputs:
         keep.add("segm_mask")       # device-side argmax (uint8)
@@ -135,23 +136,18 @@ def process(argv=None, num_data_workers: int = 4):
         keep.add("consist_score")
     if project_poi:
         keep.add("poi")
+    batch_sharding = None
     if args.num_devices is not None and args.num_devices > 1:
-        # multi-chip data-parallel inference: batch sharded over the mesh
+        # multi-chip data-parallel inference: batch sharded over the mesh,
+        # same jitted predict body as single-chip (shard_predict_fn
+        # delegates to jit_predict_fn with a mesh)
         from ..parallel.mesh import make_mesh, shard_predict_fn
         mesh = make_mesh(args.num_devices)
-        sharded_fn, in_sharding, repl = shard_predict_fn(
-            bundle.model, mesh, bundle.court_img, bundle.court_poi,
-            consistency=consistency, project_poi=project_poi)
+        predict, batch_sharding, repl = shard_predict_fn(
+            bundle, mesh, consistency=consistency, project_poi=project_poi,
+            keep=tuple(keep))
         bundle.variables = jax.device_put(bundle.variables, repl)
-
-        def predict(variables, x):
-            preds = sharded_fn(variables, x)
-            if keep:
-                preds = {k: v for k, v in preds.items() if k in keep
-                         or (k == "logits" and "segm_mask" in keep)}
-            return preds
-        logger_note = f"data-parallel inference over {mesh}"
-        print(logger_note)
+        print(f"data-parallel inference over {mesh}")
     else:
         predict = jit_predict_fn(bundle, consistency=consistency,
                                  project_poi=project_poi, keep=tuple(keep))
@@ -337,7 +333,8 @@ def process(argv=None, num_data_workers: int = 4):
         pbar = None
     t_start = time.time()
     n_done = 0
-    for batch in device_prefetch(iter(loader), depth=2):
+    for batch in device_prefetch(iter(loader), depth=2,
+                                 sharding=batch_sharding):
         preds = predict(bundle.variables, batch["image"])
         nv = batch["num_valid"]
         host: Dict[str, np.ndarray] = {"name": batch["name"][:nv]}

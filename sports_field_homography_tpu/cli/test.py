@@ -35,7 +35,8 @@ def test(args):
     args.log_path = os.path.join(os.path.dirname(args.load), "test_scores.txt")
     logger = get_logger(args.log_path, format="%(message)s")
 
-    bundle = build_model(args, load=args.load, warp_with_nearest=True)
+    bundle = build_model(args, load=args.load, warp_with_nearest=True,
+                         fold_bn=bool(getattr(args, "fold_bn", 1)))
 
     test_ids, _ = split_on_train_val(args.img_dir, val_names=[])
     test_data = BasicDataset(test_ids, args.img_dir, args.mask_dir,

@@ -11,6 +11,8 @@ import signal
 import sys
 from shutil import copyfile
 
+import jax
+
 from ..data.dataset import BasicDataset, split_on_train_val
 from ..data.loader import Loader
 from ..train.loop import LossConfig, train_net
@@ -24,18 +26,27 @@ __all__ = ["main", "prepare_dataloader"]
 
 def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
                        mask_classes, use_uv, batch_size, target_size, aug,
-                       only_ncaam):
-    """Train/val loaders (reference ``train.py:25-40``)."""
+                       only_ncaam, shard=None):
+    """Train/val loaders (reference ``train.py:25-40``).
+
+    ``shard``: (host_index, host_count) for multi-host training — each
+    host decodes only its slice of every (global) train batch; validation
+    stays unsharded (every host evaluates the full set identically, so
+    the plateau scheduler steps in lockstep)."""
     train_ids, val_ids = split_on_train_val(img_dir, val_names,
                                             only_ncaam=only_ncaam)
     train = BasicDataset(train_ids, img_dir, mask_dir, anno_dir, anno_keys,
                          mask_classes, use_uv, target_size, aug=aug)
     val = BasicDataset(val_ids, img_dir, mask_dir, anno_dir, anno_keys,
                        mask_classes, use_uv, target_size)
+    # sharded hosts must agree on the shuffled index order -> fixed seed
     train_loader = Loader(train, batch_size, shuffle=True, num_workers=8,
-                          drop_last=False, pad_last=True)
+                          drop_last=False, pad_last=True,
+                          seed=0 if shard else None, shard=shard)
+    # keep the ragged tail: eval means over the `valid` mask, so padded
+    # tail batches score exactly like the reference's variable-size tail
     val_loader = Loader(val, batch_size, shuffle=False, num_workers=8,
-                        drop_last=True)
+                        drop_last=False, pad_last=True)
     return train_loader, len(train), val_loader, len(val)
 
 
@@ -44,6 +55,17 @@ def main(argv=None):
     if args.conf_path is not None:
         conf = parse_config(args.conf_path)
         args = replace_args(args, conf)
+
+    # multi-host runtime must come up before any backend use
+    multihost = False
+    if (getattr(args, "num_hosts", None) or
+            getattr(args, "coordinator", None)):
+        from ..parallel.distributed import initialize_distributed
+        multihost = initialize_distributed(args.coordinator, args.num_hosts,
+                                           args.host_id)
+        if multihost:
+            print(f"jax.distributed up: process {jax.process_index()} of "
+                  f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     if not os.path.exists(args.cp_dir):
         os.makedirs(args.cp_dir)
@@ -102,7 +124,9 @@ def main(argv=None):
         anno_keys=anno_keys, val_names=val_names or [],
         mask_classes=args.mask_classes, use_uv=args.unet_uv,
         batch_size=args.batchsize, target_size=args.target_size,
-        aug=args.aug, only_ncaam=args.only_ncaam)
+        aug=args.aug, only_ncaam=args.only_ncaam,
+        shard=((jax.process_index(), jax.process_count())
+               if multihost else None))
     logger.info(f"Dataset: train={n_train} val={n_val} aug={args.aug}")
 
     if args.conf_path is not None:
@@ -142,7 +166,11 @@ def main(argv=None):
     signal.signal(signal.SIGTERM, save_model)
 
     mesh = None
-    if args.num_devices is not None and args.num_devices > 1:
+    if multihost:
+        from ..parallel.distributed import global_mesh
+        mesh = global_mesh()
+        logger.info(f"Multi-host data-parallel mesh: {mesh}")
+    elif args.num_devices is not None and args.num_devices > 1:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(args.num_devices)
         logger.info(f"Data-parallel mesh: {mesh}")
@@ -156,8 +184,10 @@ def main(argv=None):
         def __iter__(self):
             import numpy as np
             for batch in self.loader:
+                # keep 'valid': the eval step means over it so padded tail
+                # batches score exactly (train loss ignores it)
                 yield {k: v for k, v in batch.items()
-                       if isinstance(v, np.ndarray) and k not in ("valid",)}
+                       if isinstance(v, np.ndarray)}
 
     try:
         state = train_net(

@@ -50,7 +50,7 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, drop_last: bool = False,
                  pad_last: bool = True, seed: Optional[int] = None,
-                 prefetch_batches: int = 2):
+                 prefetch_batches: int = 2, shard=None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -59,6 +59,17 @@ class Loader:
         self.pad_last = pad_last
         self.prefetch_batches = prefetch_batches
         self._rng = np.random.default_rng(seed)
+        # multi-host input sharding: (host_index, host_count).  batch_size
+        # stays the GLOBAL batch; every host draws the same (seeded) index
+        # order but decodes only its contiguous slice of each batch —
+        # assemble with parallel.distributed.host_local_batch_to_global.
+        self.shard = shard
+        if shard is not None:
+            idx, cnt = shard
+            assert self.batch_size % cnt == 0, (self.batch_size, cnt)
+            assert 0 <= idx < cnt, shard
+            assert pad_last or drop_last, \
+                "sharded loading needs even batches (pad_last or drop_last)"
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -78,11 +89,22 @@ class Loader:
         n = len(order)
 
         def batches_of_indices():
+            """Yield (local_indices, local_valid) per batch."""
             for start in range(0, n, bs):
                 idx = order[start:start + bs]
                 if len(idx) < bs and self.drop_last:
                     return
-                yield idx
+                valid = np.ones(len(idx), bool)
+                if len(idx) < bs and self.pad_last:
+                    pad = bs - len(idx)
+                    idx = np.concatenate([idx, np.full(pad, idx[-1])])
+                    valid = np.concatenate([valid, np.zeros(pad, bool)])
+                if self.shard is not None:
+                    si, sc = self.shard
+                    per = len(idx) // sc       # == bs // sc (padded above)
+                    idx = idx[si * per:(si + 1) * per]
+                    valid = valid[si * per:(si + 1) * per]
+                yield idx, valid
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
@@ -90,19 +112,16 @@ class Loader:
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                    for idx in batches_of_indices():
+                    for idx, valid in batches_of_indices():
                         if stop.is_set():
                             break
                         if self.num_workers > 1:
                             samples = list(ex.map(self.dataset.__getitem__, idx))
                         else:
                             samples = [self.dataset[i] for i in idx]
-                        num_valid = len(samples)
-                        if num_valid < bs and self.pad_last:
-                            samples = samples + [samples[-1]] * (bs - num_valid)
                         batch = _collate(samples)
-                        batch["valid"] = np.arange(len(samples)) < num_valid
-                        batch["num_valid"] = num_valid
+                        batch["valid"] = valid
+                        batch["num_valid"] = int(valid.sum())
                         out_q.put(batch)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)

@@ -103,27 +103,32 @@ def load_court_poi(path: str, normalize: bool = True,
 
 
 def generate_uv_template(size, dtype=np.float32, x_offset=(0, 0), y_offset=(0, 0)):
-    """Generate a UV template image (reference ``utils/court.py:102-129``)."""
-    if dtype in [np.float32, np.float64, float]:
-        start_u, start_v = 1.0 / size[0], 1.0 / size[1]
-        stop_u, stop_v = 1, 1
-    elif dtype in [np.uint16, np.int16]:
-        start_u, start_v = 1, 1
-        stop_u, stop_v = size[:]
-    else:
-        raise NotImplementedError
+    """Generate a (u, v) coordinate-ramp template pair of shape (H, W).
 
-    grid_u, grid_v = np.meshgrid(
-        np.linspace(start_u, stop_u, num=size[0], dtype=dtype),
-        np.linspace(start_v, stop_v, num=size[1], dtype=dtype),
-    )
-    u = np.zeros(grid_u.shape, dtype=dtype)
-    v = np.zeros(grid_v.shape, dtype=dtype)
-    x1, x2 = x_offset[0], size[0] - x_offset[1] - 1
-    y1, y2 = y_offset[0], size[1] - y_offset[1] - 1
-    u[y1:y2, x1:x2] = grid_u[y1:y2, x1:x2]
-    v[y1:y2, x1:x2] = grid_v[y1:y2, x1:x2]
-    return u.astype(dtype), v.astype(dtype)
+    Behavior matches reference ``utils/court.py:102-129``: float dtypes ramp
+    (1/N .. 1], integer dtypes ramp [1 .. N]; pixels outside the
+    offset-trimmed interior are zeroed (the per-axis offsets trim
+    ``offset[0]`` leading and ``offset[1] + 1`` trailing pixels).
+    """
+    w, h = int(size[0]), int(size[1])
+    dt = np.dtype(dtype)
+    if dt.kind == "f":
+        u_ramp = np.linspace(1.0 / w, 1.0, num=w, dtype=dt)
+        v_ramp = np.linspace(1.0 / h, 1.0, num=h, dtype=dt)
+    elif dt in (np.dtype(np.uint16), np.dtype(np.int16)):
+        u_ramp = np.linspace(1, w, num=w, dtype=dt)
+        v_ramp = np.linspace(1, h, num=h, dtype=dt)
+    else:
+        raise NotImplementedError(dt)
+
+    col_keep = np.zeros(w, bool)
+    col_keep[x_offset[0]:w - x_offset[1] - 1] = True
+    row_keep = np.zeros(h, bool)
+    row_keep[y_offset[0]:h - y_offset[1] - 1] = True
+    keep = row_keep[:, None] & col_keep[None, :]
+    u = np.where(keep, u_ramp[None, :], 0).astype(dt)
+    v = np.where(keep, v_ramp[:, None], 0).astype(dt)
+    return u, v
 
 
 def transform_poi_np(theta: np.ndarray, poi: np.ndarray,

@@ -76,6 +76,10 @@ class BatchNorm(nn.Module):
     momentum: float = 0.1      # torch convention: weight of the new batch stat
     dtype: Any = jnp.float32
     axis_name: Any = None
+    # set after ops.fold_bn.fold_batchnorm rewrote the variables: the
+    # normalization is then exactly x + bias (scale=1, mean=0, var=1-eps),
+    # so eval mode degenerates to a per-channel add (zero for biased convs)
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -85,6 +89,11 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((self.features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,), jnp.float32))
+
+        if self.folded and not train:
+            # same f32 accumulate + downcast as the general path below, so
+            # folded outputs are bit-identical to scale=1/mean=0/var=1-eps
+            return (x.astype(jnp.float32) + bias).astype(self.dtype)
 
         if train:
             xf = x.astype(jnp.float32)

@@ -103,17 +103,22 @@ class Reconstructor(nn.Module):
     dtype: Any = jnp.float32
     # mesh axis for cross-replica (sync) BatchNorm under shard_map DP
     bn_axis_name: Any = None
+    # inference-only: BatchNorms were folded into conv weights
+    # (ops.fold_bn.fold_batchnorm), so eval BN degenerates to x + bias
+    bn_folded: bool = False
 
     def setup(self):
         cfg = self.config
         if cfg.use_unet:
             self.unet = UNet(mask_classes=cfg.mask_classes,
                              bilinear=cfg.unet_bilinear, uv=cfg.unet_uv,
-                             dtype=self.dtype, axis_name=self.bn_axis_name)
+                             dtype=self.dtype, axis_name=self.bn_axis_name,
+                             folded=self.bn_folded)
         if cfg.use_resnet:
             spec = resnet_models[cfg.resnet_name]
             self.resnet_reg = ResNetSTN(dtype=self.dtype,
-                                        axis_name=self.bn_axis_name, **spec)
+                                        axis_name=self.bn_axis_name,
+                                        folded=self.bn_folded, **spec)
 
     # ---- submodule forwards -------------------------------------------------
 

@@ -29,6 +29,7 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     axis_name: Any = None
+    folded: bool = False
 
     expansion = 1
 
@@ -38,18 +39,18 @@ class BasicBlock(nn.Module):
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                       use_bias=False, dtype=self.dtype,
                       kernel_init=kaiming_normal_fanout, name="conv1")(x)
-        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, name="bn1")(out, train)
+        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                       dtype=self.dtype, kernel_init=kaiming_normal_fanout,
                       name="conv2")(out)
-        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, name="bn2")(out, train)
+        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn2")(out, train)
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype,
                                kernel_init=kaiming_normal_fanout,
                                name="downsample_conv")(x)
-            identity = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, name="downsample_bn")(identity, train)
+            identity = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -61,6 +62,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dtype: Any = jnp.float32
     axis_name: Any = None
+    folded: bool = False
 
     expansion = 4
 
@@ -71,24 +73,24 @@ class Bottleneck(nn.Module):
         identity = x
         out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                       kernel_init=kaiming_normal_fanout, name="conv1")(x)
-        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, name="bn1")(out, train)
+        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(out, train)
         out = nn.relu(out)
         # stride on the 3x3 (torchvision "v1.5" placement)
         out = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
                       feature_group_count=self.groups, use_bias=False,
                       dtype=self.dtype, kernel_init=kaiming_normal_fanout,
                       name="conv2")(out)
-        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, name="bn2")(out, train)
+        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn2")(out, train)
         out = nn.relu(out)
         out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                       kernel_init=kaiming_normal_fanout, name="conv3")(out)
-        out = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, name="bn3")(out, train)
+        out = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn3")(out, train)
         if self.downsample:
             identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype,
                                kernel_init=kaiming_normal_fanout,
                                name="downsample_conv")(x)
-            identity = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, name="downsample_bn")(identity, train)
+            identity = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -108,13 +110,14 @@ class ResNetSTN(nn.Module):
     width_per_group: int = 64
     dtype: Any = jnp.float32
     axis_name: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     dtype=self.dtype, kernel_init=kaiming_normal_fanout,
                     name="conv0")(x)
-        x = BatchNorm(64, dtype=self.dtype, axis_name=self.axis_name, name="bn1")(x, train)
+        x = BatchNorm(64, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, padding=1)
 
@@ -130,11 +133,13 @@ class ResNetSTN(nn.Module):
                 name = f"layer{stage + 1}_{bi}"
                 if basic:
                     x = BasicBlock(planes, s, need_ds, dtype=self.dtype,
-                                   axis_name=self.axis_name, name=name)(x, train)
+                                   axis_name=self.axis_name,
+                                   folded=self.folded, name=name)(x, train)
                 else:
                     x = Bottleneck(planes, s, need_ds, self.groups,
                                    self.width_per_group, dtype=self.dtype,
-                                   axis_name=self.axis_name, name=name)(x, train)
+                                   axis_name=self.axis_name,
+                                   folded=self.folded, name=name)(x, train)
                 inplanes = planes * expansion
 
         x = jnp.mean(x, axis=(1, 2))            # AdaptiveAvgPool2d((1,1))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,6 +36,7 @@ class DoubleConv(nn.Module):
     mid_channels: Optional[int] = None
     dtype: Any = jnp.float32
     axis_name: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -44,13 +46,14 @@ class DoubleConv(nn.Module):
                     kernel_init=torch_conv_kernel_init,
                     bias_init=torch_bias_init(9 * in_ch), name="conv1")(x)
         x = BatchNorm(mid, dtype=self.dtype, axis_name=self.axis_name,
-                      name="bn1")(x, train)
+                      folded=self.folded, name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=torch_conv_kernel_init,
                     bias_init=torch_bias_init(9 * mid), name="conv2")(x)
         x = BatchNorm(self.out_channels, dtype=self.dtype,
-                      axis_name=self.axis_name, name="bn2")(x, train)
+                      axis_name=self.axis_name, folded=self.folded,
+                      name="bn2")(x, train)
         return nn.relu(x)
 
 
@@ -60,20 +63,30 @@ class Down(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     axis_name: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = max_pool(x, 2, 2)
         return DoubleConv(self.out_channels, dtype=self.dtype,
-                          axis_name=self.axis_name, name="conv")(x, train)
+                          axis_name=self.axis_name, folded=self.folded,
+                          name="conv")(x, train)
 
 
 class Deconv2x(nn.Module):
-    """k2s2 transposed conv as matmul + depth-to-space.
+    """k2s2 transposed conv via XLA's native input-dilated convolution.
 
     out[n, 2i+p, 2j+q, o] = sum_c x[n, i, j, c] * W[c, p, q, o] + b[o]
     — identical to ``nn.ConvTranspose2d(cin, cout, 2, 2)``; the weight is
     the torch IOHW tensor transposed to (I, H, W, O).
+
+    A conv over the 2x-dilated input with (1,1) pads computes
+    out[t] = sum_k K[k] X[t+k-1], which hits x[i] at tap k = 1-p, so the
+    kernel is passed spatially flipped.  Measured on v5e @640x360 b32 this
+    formulation runs the whole flagship predict at 107 ms vs 123 ms for
+    an einsum+depth-to-space expansion — the 6D interleave transposes of
+    the latter cost ~11 ms/batch that XLA's deconv path avoids entirely
+    (see scripts/bench_deconv_variants.py).
     """
 
     out_channels: int
@@ -81,15 +94,16 @@ class Deconv2x(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        n, h, w, cin = x.shape
+        cin = x.shape[-1]
         cout = self.out_channels
         kernel = self.param("kernel", torch_conv_kernel_init,
                             (cin, 2, 2, cout), jnp.float32)
         bias = self.param("bias", torch_bias_init(cin * 4), (cout,), jnp.float32)
-        k = kernel.astype(self.dtype).reshape(cin, 4 * cout)
-        y = jnp.einsum("nhwc,ck->nhwk", x.astype(self.dtype), k)
-        y = y.reshape(n, h, w, 2, 2, cout)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
+        k = kernel.transpose(1, 2, 0, 3)[::-1, ::-1].astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + bias.astype(self.dtype)
 
 
@@ -101,6 +115,7 @@ class Up(nn.Module):
     bilinear: bool = False
     dtype: Any = jnp.float32
     axis_name: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -122,9 +137,10 @@ class Up(nn.Module):
         if self.bilinear:
             return DoubleConv(self.out_channels, mid_channels=x.shape[-1] // 2,
                               dtype=self.dtype, axis_name=self.axis_name,
-                              name="conv")(x, train)
+                              folded=self.folded, name="conv")(x, train)
         return DoubleConv(self.out_channels, dtype=self.dtype,
-                          axis_name=self.axis_name, name="conv")(x, train)
+                          axis_name=self.axis_name, folded=self.folded,
+                          name="conv")(x, train)
 
 
 class OutConv(nn.Module):
@@ -153,28 +169,33 @@ class UNet(nn.Module):
     uv: bool = False
     dtype: Any = jnp.float32
     axis_name: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         factor = 2 if self.bilinear else 1
         x1 = DoubleConv(64, dtype=self.dtype, axis_name=self.axis_name,
-                        name="inc")(x, train)
+                        folded=self.folded, name="inc")(x, train)
         x2 = Down(128, dtype=self.dtype, axis_name=self.axis_name,
-                     name="down1")(x1, train)
+                     folded=self.folded, name="down1")(x1, train)
         x3 = Down(256, dtype=self.dtype, axis_name=self.axis_name,
-                     name="down2")(x2, train)
+                     folded=self.folded, name="down2")(x2, train)
         x4 = Down(512, dtype=self.dtype, axis_name=self.axis_name,
-                     name="down3")(x3, train)
+                     folded=self.folded, name="down3")(x3, train)
         x_top = Down(1024 // factor, dtype=self.dtype,
-                     axis_name=self.axis_name, name="down4")(x4, train)
+                     axis_name=self.axis_name, folded=self.folded,
+                     name="down4")(x4, train)
         y = Up(512 // factor, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, name="up1")(x_top, x4, train)
+               axis_name=self.axis_name, folded=self.folded,
+               name="up1")(x_top, x4, train)
         y = Up(256 // factor, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, name="up2")(y, x3, train)
+               axis_name=self.axis_name, folded=self.folded,
+               name="up2")(y, x3, train)
         y = Up(128 // factor, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, name="up3")(y, x2, train)
+               axis_name=self.axis_name, folded=self.folded,
+               name="up3")(y, x2, train)
         y = Up(64, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, name="up4")(y, x1, train)
+               axis_name=self.axis_name, folded=self.folded, name="up4")(y, x1, train)
         logits = OutConv(self.mask_classes, dtype=self.dtype, name="outc")(y)
         uv = OutConv(2, dtype=self.dtype, name="outuv")(y) if self.uv else None
         return logits, x_top, uv

@@ -6,3 +6,9 @@ from .mesh import (
     shard_predict_fn,
     spatial_forward_fn,
 )
+from .distributed import (
+    initialize_distributed,
+    global_mesh,
+    process_slice,
+    host_local_batch_to_global,
+)

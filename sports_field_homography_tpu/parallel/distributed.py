@@ -1,0 +1,164 @@
+"""Multi-host (DCN) scale-out: jax.distributed runtime plumbing.
+
+The reference is single-GPU with no communication backend (SURVEY §5);
+within one TPU slice this framework scales over ICI via ``parallel.mesh``.
+This module adds the cross-host axis: ``jax.distributed.initialize()``
+wiring, a global mesh over every host's devices, and the host-local ->
+global array assembly for per-host input pipelines.
+
+Design (standard JAX multi-controller SPMD):
+  * every host runs the SAME program; ``initialize_distributed`` connects
+    them through a coordinator (auto-detected on Cloud TPU pods, explicit
+    host/port elsewhere — including multi-process CPU for tests, which
+    rides gloo);
+  * each host loads its own batch shard (``process_slice``) and assembles
+    a global jax.Array with ``host_local_array_to_global_array``;
+  * the jitted train step is compiled against the GLOBAL mesh; XLA routes
+    gradient reductions over ICI within a slice and DCN across slices.
+
+Smoke-testable without TPUs:  ``python -m
+sports_field_homography_tpu.parallel.distributed --smoke <pid> <nprocs>``
+runs one real Reconstructor train step on a global CPU mesh; the test
+suite launches two such processes and checks they agree on the loss.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+__all__ = ["initialize_distributed", "global_mesh", "process_slice",
+           "host_local_batch_to_global"]
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_hosts: Optional[int] = None,
+                           host_id: Optional[int] = None) -> bool:
+    """Connect this process to the jax.distributed runtime.
+
+    With no arguments, relies on JAX's cluster auto-detection (Cloud TPU
+    pod metadata / SLURM / env).  Explicit args — or the environment
+    variables ``SFH_COORDINATOR`` / ``SFH_NUM_HOSTS`` / ``SFH_HOST_ID`` —
+    override.  Returns True if a multi-host runtime was initialized,
+    False for the single-host no-op.
+    """
+    coordinator = coordinator or os.environ.get("SFH_COORDINATOR")
+    if num_hosts is None and os.environ.get("SFH_NUM_HOSTS"):
+        num_hosts = int(os.environ["SFH_NUM_HOSTS"])
+    if host_id is None and os.environ.get("SFH_HOST_ID"):
+        host_id = int(os.environ["SFH_HOST_ID"])
+
+    if coordinator is None and num_hosts is None:
+        return False  # single-host: nothing to do
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_hosts is not None:
+        kwargs["num_processes"] = num_hosts
+    if host_id is not None:
+        kwargs["process_id"] = host_id
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def global_mesh(spatial: int = 1):
+    """(data, spatial) mesh over ALL hosts' devices (cf. mesh.make_mesh,
+    which builds over the local/default device list)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    n = len(devices)
+    assert n % spatial == 0, (n, spatial)
+    arr = np.array(devices).reshape(n // spatial, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def process_slice(global_batch_size: int):
+    """(start, size) of this host's slice of the global batch: each host's
+    input pipeline loads only its own samples."""
+    n = jax.process_count()
+    i = jax.process_index()
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    per = global_batch_size // n
+    return i * per, per
+
+
+def host_local_batch_to_global(batch: dict, mesh, batch_axis: str = "data"):
+    """Assemble per-host batch shards into global jax.Arrays.
+
+    Each host passes its LOCAL shard (leading dim = global/num_hosts);
+    the result is a dict of global arrays sharded over ``batch_axis``,
+    ready for a jitted step compiled against the global mesh.
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    specs = {k: P(batch_axis) for k in batch}
+    return multihost_utils.host_local_array_to_global_array(
+        batch, mesh, specs)
+
+
+def _smoke(pid: int, nprocs: int, port: int = 12411) -> None:
+    """One real train step on a global multi-process CPU mesh."""
+    jax.config.update("jax_platforms", "cpu")
+    initialize_distributed(coordinator=f"127.0.0.1:{port}",
+                           num_hosts=nprocs, host_id=pid)
+    assert jax.process_count() == nprocs
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from __graft_entry__ import _flagship
+    from ..train.loop import LossConfig, init_train_state, make_train_step
+    from ..train.optim import make_optimizer
+
+    gbs = 2 * nprocs
+    w, h = 64, 32
+    model, court_img, court_poi, cfg = _flagship(
+        gbs, size=(w, h), dtype=jnp.float32, warp_with_nearest=False)
+    x1 = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, court_img[:1],
+                           court_poi[:1], train=False)
+
+    mesh = global_mesh(spatial=1)
+    start, per = process_slice(gbs)
+    rng = np.random.RandomState(0)  # same stream everywhere; slice locally
+    full = {
+        "image": rng.rand(gbs, h, w, 3).astype(np.float32),
+        "mask": rng.randint(0, 4, size=(gbs, h, w)).astype(np.int64),
+        "poi": rng.rand(gbs, 52, 2).astype(np.float32),
+        "nonzeros": np.ones((gbs, 52), np.float32),
+        "num_nonzero": np.full((gbs,), 52.0, np.float32),
+        "weight": np.ones((gbs, 1), np.float32),
+    }
+    local = {k: v[start:start + per] for k, v in full.items()}
+    gbatch = host_local_batch_to_global(local, mesh)
+
+    optimizer = make_optimizer("RMSprop", 1e-4, 1e-8)
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
+                          consist_loss="CE", consist_start_iter=0,
+                          batch_size=gbs)
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(init_train_state(variables, optimizer), repl)
+    ci = jax.device_put(court_img, repl)
+    cp = jax.device_put(court_poi, repl)
+    step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))
+    state, logs = step_fn(state, gbatch, ci, cp)
+    jax.block_until_ready(logs)
+    loss = float(logs["Tot_loss"])     # fully replicated -> host-readable
+    print(f"DIST_SMOKE pid={pid} loss={loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--smoke" in sys.argv:
+        i = sys.argv.index("--smoke")
+        _smoke(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+               port=int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 12411)

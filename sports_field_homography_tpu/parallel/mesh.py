@@ -69,31 +69,25 @@ def shard_train_step(step_fn, mesh: Mesh):
     return jax.jit(wrapped)
 
 
-def shard_predict_fn(model, variables_sharding_mesh, court_img, court_poi,
-                     consistency: bool, project_poi: bool):
+def shard_predict_fn(bundle, mesh: Mesh, consistency: bool,
+                     project_poi: bool, keep=None):
     """Batch-sharded inference: each chip predicts its batch shard.
 
     Pure data parallelism — no collectives; XLA splits the program by the
-    input sharding alone.
+    input sharding alone.  This is the SAME jitted body as single-chip
+    ``cli.engine.jit_predict_fn`` (uint8 normalization, interval warp
+    table, device-side argmax, static ``keep`` pruning) — only the input
+    sharding constraint differs, so multi-chip outputs are value-identical
+    to single-chip by construction.
+
+    Returns ``(fn, in_sharding, replicated_sharding)``; place the batch
+    with ``in_sharding`` and the variables with ``replicated_sharding``.
     """
-    mesh = variables_sharding_mesh
-    in_s = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
+    from ..cli.engine import jit_predict_fn
 
-    ci = jax.device_put(court_img, repl)
-    cp = jax.device_put(court_poi, repl)
-
-    @jax.jit
-    def _fn(variables, x, ci, cp):
-        x = jax.lax.with_sharding_constraint(x, in_s)
-        return model.apply(variables, x, ci, cp,
-                           consistency=consistency, project_poi=project_poi,
-                           method=model.predict)
-
-    def fn(variables, x):
-        return _fn(variables, x, ci, cp)
-
-    return fn, in_s, repl
+    fn = jit_predict_fn(bundle, consistency=consistency,
+                        project_poi=project_poi, keep=keep, mesh=mesh)
+    return fn, NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
 
 
 def spatial_forward_fn(model, mesh: Mesh, court_img, court_poi,

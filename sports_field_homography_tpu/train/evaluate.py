@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from ..models.losses import (
     cross_entropy_map,
     mse_map,
-    per_sample_weighted,
     reprojection_loss,
 )
 
@@ -57,37 +56,58 @@ def make_eval_step(model, court_img, court_poi, target_size,
         gt_masks_i = batch["mask"].astype(jnp.int32)
         gt_masks_f = gt_masks_i.astype(jnp.float32) / float(mask_classes)
 
+        # tail batches are PADDED to the static batch size (data/loader);
+        # metrics mean over the true samples only, so scores are exact for
+        # any dataset size (reference semantics: variable tail batch,
+        # ``eval.py:181-215``)
+        if "valid" in batch:
+            valid = batch["valid"].astype(jnp.float32)
+        else:
+            valid = jnp.ones((batch["image"].shape[0],), jnp.float32)
+        nv = jnp.maximum(jnp.sum(valid), 1.0)
+
+        def masked_mean(loss_map):
+            per = jnp.mean(loss_map.astype(jnp.float32),
+                           axis=tuple(range(1, loss_map.ndim)))
+            return jnp.sum(per * valid) / nv
+
         if use_per_sample_weights:
-            w = batch["weight"]
+            w = batch["weight"].reshape(-1).astype(jnp.float32)
+
+            def weighted(loss_map):
+                per = jnp.mean(loss_map.astype(jnp.float32),
+                               axis=tuple(range(1, loss_map.ndim)))
+                return jnp.sum(per * w * valid) / nv
+
             if logits is not None:
-                out["seg"] = per_sample_weighted(
-                    cross_entropy_map(logits, gt_masks_i), w)
+                out["seg"] = weighted(cross_entropy_map(logits, gt_masks_i))
             if warp_masks is not None:
-                out["rec"] = per_sample_weighted(
-                    mse_map(warp_masks, gt_masks_f), w)
+                out["rec"] = weighted(mse_map(warp_masks, gt_masks_f))
             if uv is not None and unet_uv:
-                out["uv"] = per_sample_weighted(mse_map(uv, batch["uv"]), w)
+                out["uv"] = weighted(mse_map(uv, batch["uv"]))
         else:
             if logits is not None:
-                out["seg"] = jnp.mean(cross_entropy_map(logits, gt_masks_i))
+                out["seg"] = masked_mean(cross_entropy_map(logits, gt_masks_i))
             if warp_masks is not None:
-                out["rec"] = jnp.mean(mse_map(warp_masks, gt_masks_f))
+                out["rec"] = masked_mean(mse_map(warp_masks, gt_masks_f))
             if uv is not None and unet_uv:
-                out["uv"] = jnp.mean(mse_map(uv, batch["uv"]))
+                out["uv"] = masked_mean(mse_map(uv, batch["uv"]))
 
         if logits is not None and warp_masks is not None:
             warp_i = (warp_masks * mask_classes).astype(jnp.int32)
-            out["consist"] = jnp.mean(cross_entropy_map(logits, warp_i))
+            out["consist"] = masked_mean(cross_entropy_map(logits, warp_i))
 
         if "poi" in preds and "poi" in batch:
             poi = preds["poi"]
             gt_poi = batch["poi"].astype(jnp.float32)
             nz = batch["nonzeros"].astype(jnp.float32)
             nn = batch["num_nonzero"].astype(jnp.float32)
-            out["reproj_sum"] = reprojection_loss(poi, gt_poi, nz, nn, "sum")
+            per = reprojection_loss(poi, gt_poi, nz, nn, "none")
+            out["reproj_sum"] = jnp.sum(per * valid)
             scale = jnp.asarray([tw, th], jnp.float32)
-            out["reproj_px_sum"] = reprojection_loss(
-                poi * scale, gt_poi * scale, nz, nn, "sum")
+            per_px = reprojection_loss(poi * scale, gt_poi * scale,
+                                       nz, nn, "none")
+            out["reproj_px_sum"] = jnp.sum(per_px * valid)
 
         out["_logits"] = logits if logits is not None else jnp.zeros(())
         out["_warp"] = warp_masks if warp_masks is not None else jnp.zeros(())
@@ -116,10 +136,9 @@ def eval_reconstructor(model, variables, loader, court_img, court_poi,
     for batch in loader:
         nv = batch.get("num_valid", len(batch["image"]))
         out = eval_step(variables, batch)
-        # padded tail replicas slightly perturb batch-mean metrics; the
-        # reference instead drops the tail (drop_last=True on val) — we
-        # count padded batches the same way for score parity when the val
-        # set divides evenly, and accept the tail approximation otherwise.
+        # the eval step means over the `valid` samples only, so a padded
+        # tail batch contributes exactly the reference's variable-size
+        # tail-batch mean — scores are exact for any dataset size
         for k in sums:
             if k in out:
                 sums[k] += float(out[k])

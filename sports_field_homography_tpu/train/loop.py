@@ -37,7 +37,8 @@ from ..utils.checkpoint import save_checkpoint
 from .evaluate import eval_reconstructor, make_eval_step
 from .optim import ReduceLROnPlateau, current_learning_rate, make_optimizer, set_learning_rate
 
-__all__ = ["TrainState", "LossConfig", "make_train_step", "train_net"]
+__all__ = ["TrainState", "LossConfig", "make_loss_fn", "make_grad_stats_fn",
+           "make_train_step", "train_net"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,14 +76,12 @@ def _elementwise(loss_name):
     return {"MSE": mse_map, "SmoothL1": smooth_l1_map}[loss_name]
 
 
-def make_train_step(model, optimizer, loss_cfg: LossConfig,
-                    axis_name: Optional[str] = None):
-    """Build the jitted (or shard_map-able) train step.
+def make_loss_fn(model, loss_cfg: LossConfig):
+    """The multi-loss objective shared by the train step and the
+    gradient-histogram probe (reference loss builders ``train.py:100-144``).
 
-    Returns ``step(state, batch, court_img, court_poi) -> (state, logs)``
-    where logs mirrors the reference's TB scalars.  The court constants are
-    arguments, not closures: jit closure constants get re-uploaded per
-    dispatch on tunneled TPU runtimes (29 MB template = 78 ms/step).
+    Signature: ``loss_fn(params, batch_stats, batch, step_no, court_img,
+    court_poi, warp_table) -> (total, (new_batch_stats, logs))``.
     """
     num_classes = model.config.mask_classes
 
@@ -140,6 +139,37 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
 
         logs["Tot_loss"] = total
         return total, (mutated["batch_stats"], logs)
+
+    return loss_fn
+
+
+def make_grad_stats_fn(model, loss_cfg: LossConfig):
+    """Jitted gradient probe for TB histograms (reference ``train.py:246-250``
+    logs grad histograms at validation steps).  Computes grads at the
+    CURRENT params on the given batch without updating anything."""
+    loss_fn = make_loss_fn(model, loss_cfg)
+
+    @jax.jit
+    def grad_stats(state, batch, court_img, court_poi, warp_table=None):
+        grads = jax.grad(
+            lambda p: loss_fn(p, state["batch_stats"], batch, state["step"],
+                              court_img, court_poi, warp_table)[0]
+        )(state["params"])
+        return grads
+
+    return grad_stats
+
+
+def make_train_step(model, optimizer, loss_cfg: LossConfig,
+                    axis_name: Optional[str] = None):
+    """Build the jitted (or shard_map-able) train step.
+
+    Returns ``step(state, batch, court_img, court_poi) -> (state, logs)``
+    where logs mirrors the reference's TB scalars.  The court constants are
+    arguments, not closures: jit closure constants get re-uploaded per
+    dispatch on tunneled TPU runtimes (29 MB template = 78 ms/step).
+    """
+    loss_fn = make_loss_fn(model, loss_cfg)
 
     def step(state, batch, court_img, court_poi, warp_table=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -227,6 +257,10 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
+    # gradient-histogram probe (reference logs grad histograms at val
+    # steps, train.py:246-250); compiled lazily on first val step
+    grad_stats_fn = (make_grad_stats_fn(model, loss_cfg)
+                     if writer is not None else None)
 
     try:
         from tqdm import tqdm
@@ -240,6 +274,19 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         pbar = (tqdm(total=n_train, desc=f"Epoch {epoch + 1}/{epochs}",
                      unit="img") if tqdm is not None else None)
         for batch in train_loader:
+            if mesh is not None and jax.process_count() > 1:
+                # multi-host: per-host loader shards -> global jax.Arrays
+                # over the global mesh (parallel/distributed.py)
+                from ..parallel.distributed import host_local_batch_to_global
+                batch = host_local_batch_to_global(batch, mesh)
+            # grads at CURRENT params for TB histograms, computed before the
+            # update like the reference's post-backward pre-step read
+            # (train.py:246-250); only on validation steps
+            hist_grads = None
+            if (grad_stats_fn is not None and val_loader is not None
+                    and (global_step + 1) % val_step_n == 0):
+                hist_grads = grad_stats_fn(state, batch, court_img,
+                                           court_poi, warp_table)
             state, logs = step_fn(state, batch, court_img, court_poi,
                                   warp_table)
             global_step += 1
@@ -266,6 +313,12 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                         t = "/".join(str(getattr(p, "key", p)) for p in path)
                         writer.add_histogram("weights/" + t, np.asarray(value),
                                              global_step)
+                    if hist_grads is not None:
+                        for path, value in jax.tree_util.tree_flatten_with_path(
+                                hist_grads)[0]:
+                            t = "/".join(str(getattr(p, "key", p)) for p in path)
+                            writer.add_histogram("grads/" + t,
+                                                 np.asarray(value), global_step)
                 result = eval_reconstructor(
                     model, {"params": state["params"],
                             "batch_stats": state["batch_stats"]},

@@ -15,6 +15,7 @@ footgun is detected.
 from __future__ import annotations
 
 import argparse
+import os
 
 import yaml
 
@@ -25,7 +26,22 @@ __all__ = [
     "get_prediction_args",
     "get_test_args",
     "replace_args",
+    "resolve_asset",
 ]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def resolve_asset(path: str) -> str:
+    """Resolve ``./assets/...`` defaults against the repo root when they
+    don't exist relative to the cwd, so the CLIs work from any directory
+    (the reference assumes repo-cwd invocation)."""
+    if path and not os.path.exists(path):
+        candidate = os.path.join(_REPO_ROOT, path.lstrip("./"))
+        if os.path.exists(candidate):
+            return candidate
+    return path
 
 
 def parse_config(path_to_yaml: str):
@@ -96,6 +112,18 @@ def make_base_parser() -> argparse.ArgumentParser:
                         help="Model compute dtype: bfloat16 (fast) or float32 (parity)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Data-parallel devices (default: all visible)")
+    # multi-host (DCN) runtime; see parallel/distributed.py.  With only
+    # --num_hosts set, JAX's cluster auto-detection fills the rest
+    # (Cloud TPU pod metadata); explicit coordinator/host_id for manual
+    # or CPU-test topologies.
+    parser.add_argument("--num_hosts", type=int, default=None,
+                        help="Total hosts in a multi-host run (enables "
+                             "jax.distributed)")
+    parser.add_argument("--host_id", type=int, default=None,
+                        help="This host's process id in a multi-host run")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="Coordinator address host:port for "
+                             "jax.distributed")
     return parser
 
 
@@ -158,6 +186,9 @@ def get_prediction_args(argv=None):
                         help="Output mask type [bin / gray / rgb]")
     parser.add_argument("--mask_save_format", type=str, default="pickle",
                         help="Mask save format [png / pickle]")
+    parser.add_argument("--fold_bn", type=int, default=1,
+                        help="Fold BatchNorm into conv weights at load "
+                             "(inference-only, exactly equivalent; 0 disables)")
     return parser.parse_args(argv)
 
 
@@ -169,6 +200,9 @@ def get_test_args(argv=None):
                         help="List of epochs to test, e.g. 1,2,5")
     parser.add_argument("--metric_img_size", "-mis", dest="metric_img_size",
                         default=(640, 360), help="Metric image size")
+    parser.add_argument("--fold_bn", type=int, default=1,
+                        help="Fold BatchNorm into conv weights at load "
+                             "(inference-only, exactly equivalent; 0 disables)")
     return parser.parse_args(argv)
 
 

@@ -52,13 +52,15 @@ def onehot_to_image(masks, n_classes: int = 4) -> np.ndarray:
 
 
 def overlay(frame: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Blend a colored mask over a frame (reference ``utils/postprocess.py:60-65``)."""
-    import cv2
-
-    m = cv2.inRange(mask, (0, 0, 0), (0, 0, 0))
-    m = cv2.merge([m, m, m])
-    overlaid = (frame & m) + mask * 0.5 + (frame & (255 - m)) * 0.5
-    return np.ascontiguousarray(overlaid.astype("uint8"))
+    """50/50 blend of a colored mask over a frame; pixels where the mask is
+    pure black keep the frame untouched (observable behavior of reference
+    ``utils/postprocess.py:60-65``, pure numpy here)."""
+    frame = np.asarray(frame)
+    mask = np.asarray(mask)
+    background = np.all(mask == 0, axis=-1, keepdims=True)
+    blended = 0.5 * frame.astype(np.float32) + 0.5 * mask.astype(np.float32)
+    out = np.where(background, frame.astype(np.float32), blended)
+    return np.ascontiguousarray(out.astype(np.uint8))
 
 
 def draw_text(img, text, pos, color=(255, 255, 255), scale=0.75, lineType=1,

@@ -1,0 +1,55 @@
+"""Multi-host (DCN) runtime: 2-process CPU smoke of the real train step.
+
+Launches two fresh processes that ``jax.distributed.initialize`` against a
+local coordinator (gloo collectives on CPU), build a GLOBAL 2-device mesh
+(one device per process), assemble per-host batch shards into global
+arrays, and run one real Reconstructor train step.  Both hosts must agree
+on the (fully replicated) loss — the multi-controller SPMD contract.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+
+def _child_env():
+    """Strip the test session's 8-virtual-device XLA flag: each smoke
+    process must expose exactly ONE local CPU device."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    return env
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train_step_smoke():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m",
+             "sports_field_homography_tpu.parallel.distributed",
+             "--smoke", str(i), "2", str(port)],
+            cwd="/root/repo", env=_child_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out[-4000:]
+    losses = []
+    for out in outs:
+        m = re.search(r"DIST_SMOKE pid=\d loss=([\d.]+)", out)
+        assert m, out[-2000:]
+        losses.append(m.group(1))
+    assert losses[0] == losses[1], losses
