@@ -79,8 +79,14 @@ class ReconstructorConfig:
     # geometry.warp.warp_homography_nearest_2pass). Off by default for
     # bit-parity with the reference sampler.
     fast_warp: bool = False
+    # Nearest interval-warp kernel: "xla" (scan + fused one-hot matmul),
+    # "pallas" (ops/warp_pallas — the one-hot never leaves VMEM), or
+    # "auto" (measured policy; see _select_pallas_warp).  Bit-identical
+    # outputs either way.
+    warp_kernel: str = "auto"
 
     def __post_init__(self):
+        assert self.warp_kernel in ("auto", "xla", "pallas"), self.warp_kernel
         assert self.use_unet or self.use_resnet
         mode = Input.parse(self.resnet_input)
         if self.use_resnet:
@@ -96,6 +102,24 @@ class ReconstructorConfig:
         return {Input.IMG: 3, Input.MASK: self.mask_classes,
                 Input.IMG_AND_MASK: self.mask_classes + 3,
                 Input.IMG_AND_MASK_AND_UV: self.mask_classes + 5}[mode]
+
+
+def _select_pallas_warp(kernel: str, n_queries: int) -> bool:
+    """Static (trace-time) kernel choice for the nearest interval warp.
+
+    Measured in full predict programs on v5e (scripts/bench_warp_variants.py,
+    2026-08-16): XLA's fused one-hot formulation wins in every current
+    program context — 109.5 vs 130.4 ms (640x360 b32), 44.9 vs 64.6 ms
+    (1280x720 b8), 164.4 vs 228.8 ms (1280x720 b32) — because the round-1
+    consistency-subsample rework removed the context where XLA materialized
+    the one-hot to HBM (a 25x regression).  So "auto" selects XLA; the
+    Pallas kernel (one-hot structurally confined to VMEM) stays reachable
+    via --warp_kernel pallas as the guaranteed-fusion fallback if a future
+    program shape re-triggers the materialization.
+    """
+    if kernel == "pallas":
+        return True
+    return False
 
 
 class Reconstructor(nn.Module):
@@ -166,6 +190,10 @@ class Reconstructor(nn.Module):
             from ..ops.interval_warp import (warp_bilinear_interval,
                                              warp_nearest_interval)
             if mode == "nearest":
+                if _select_pallas_warp(cfg.warp_kernel, bs * h * w):
+                    from ..ops.warp_pallas import warp_nearest_interval_pallas
+                    return warp_nearest_interval_pallas(warp_table, theta,
+                                                        (h, w))
                 return warp_nearest_interval(warp_table, theta, (h, w))
             return warp_bilinear_interval(warp_table, theta, (h, w))
         src = template.astype(jnp.float32)

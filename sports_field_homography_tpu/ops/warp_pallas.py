@@ -26,13 +26,17 @@ Encoding matches ``interval_warp.IntervalTable`` (bound_hi | bound_lo |
 scaled values, bf16-exact); results are bit-identical to
 ``warp_nearest_interval`` (tested in interpret mode and on device).
 
-Status: when XLA fuses its one-hot (the current production programs do),
-the XLA formulation is ~2.5x faster (13 vs 34 ms @640x360 batch 32: XLA
-overlaps the VPU one-hot build with the MXU dots across stripes; this
-kernel runs them serially per stripe).  This kernel is the guaranteed-
-fusion fallback for program contexts where XLA materializes the one-hot
-to HBM (25x regression observed before the consistency-subsample rework);
-software-pipelining the stripes is the open improvement (ROADMAP.md).
+Status (measured 2026-08-16 in FULL predict programs on v5e,
+scripts/bench_warp_variants.py): XLA's fused formulation wins in every
+current program context — 109.5 vs 130.4 ms (640x360 b32), 44.9 vs
+64.6 ms (1280x720 b8), 164.4 vs 228.8 ms (1280x720 b32) — because the
+consistency-subsample rework removed the program shape where XLA
+materialized the one-hot to HBM (the 25x regression this kernel guards
+against).  Wired as ``ReconstructorConfig.warp_kernel`` /
+``--warp_kernel pallas`` (CLI); the default "auto" policy selects XLA
+(see ``models/reconstructor._select_pallas_warp``).  Keep this kernel: it
+is the guaranteed-fusion fallback if a future program shape re-triggers
+the materialization, and its outputs are bit-identical.
 """
 from __future__ import annotations
 
@@ -91,8 +95,14 @@ def _kernel(tab_ref, iv_ref, iu_ref, out_ref, *, ht: int, K: int):
 
 def warp_nearest_interval_pallas(table: IntervalTable, theta: jnp.ndarray,
                                  out_hw, sample_hw=None,
-                                 interpret: bool = False) -> jnp.ndarray:
-    """Drop-in fused-kernel equivalent of ``warp_nearest_interval``."""
+                                 interpret: bool = None) -> jnp.ndarray:
+    """Drop-in fused-kernel equivalent of ``warp_nearest_interval``.
+
+    ``interpret`` defaults to True on non-TPU backends (the CPU test
+    platform) so configs selecting this kernel stay runnable everywhere.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if theta.ndim == 4:
         theta = theta[:, 0]
     ht, wt = table.src_hw

@@ -110,6 +110,11 @@ def make_base_parser() -> argparse.ArgumentParser:
     # TPU-specific:
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         help="Model compute dtype: bfloat16 (fast) or float32 (parity)")
+    parser.add_argument("--warp_kernel", type=str, default="auto",
+                        choices=("auto", "xla", "pallas"),
+                        help="Nearest interval-warp kernel (auto: Pallas for "
+                             "large-area warps on TPU, XLA otherwise; "
+                             "bit-identical outputs)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Data-parallel devices (default: all visible)")
     # multi-host (DCN) runtime; see parallel/distributed.py.  With only

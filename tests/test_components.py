@@ -289,3 +289,70 @@ def test_legacy_unet_stn_shapes():
     logits, proj = m.apply(v, x, tmpl)
     assert logits.shape == (1, 360, 640, 4)
     assert proj.shape == (1, 360, 640)
+
+
+class TestNaryaConverters:
+    """prep/narya.py vs the reference notebook's converter cells
+    (dataset_utils/football_dataset.ipynb, Narya sections)."""
+
+    def _frame(self, path, w=64, h=36):
+        import cv2
+        rng = np.random.RandomState(0)
+        cv2.imwrite(str(path), rng.randint(0, 255, (h, w, 3), np.uint8))
+
+    def test_keypoints_conversion(self, tmp_path):
+        import json as _json
+        from sports_field_homography_tpu.prep.narya import (
+            NARYA_TO_OUR_POI, convert_narya_keypoints)
+
+        (tmp_path / "img").mkdir()
+        (tmp_path / "anno").mkdir()
+        self._frame(tmp_path / "img" / "wc_1.jpg", 100, 50)
+        xml = """<annotation><size><width>100</width><height>50</height></size>
+          <object><name>2</name><keypoints><x1>25</x1><y1>10</y1></keypoints></object>
+          <object><name>10</name><keypoints><x1>90</x1><y1>40</y1></keypoints></object>
+        </annotation>"""
+        (tmp_path / "anno" / "wc_1.xml").write_text(xml)
+        # anno without a frame -> skipped, like the notebook
+        (tmp_path / "anno" / "wc_2.xml").write_text(xml)
+
+        n = convert_narya_keypoints(str(tmp_path / "img"), str(tmp_path / "anno"),
+                                    str(tmp_path / "out/frames"), str(tmp_path / "out"),
+                                    frame_size=(64, 36))
+        assert n == 1
+        labels = _json.load(open(tmp_path / "out/manual_anno.json"))
+        poi = np.asarray(labels["000001"]["poi"])
+        assert poi.shape == (33, 2)
+        np.testing.assert_allclose(poi[NARYA_TO_OUR_POI[2]], [0.25, 0.2])
+        np.testing.assert_allclose(poi[NARYA_TO_OUR_POI[10]], [0.9, 0.8])
+        unset = [i for i in range(33)
+                 if i not in (NARYA_TO_OUR_POI[2], NARYA_TO_OUR_POI[10])]
+        assert (poi[unset] == -1.0).all()
+        assert (tmp_path / "out/frames/000001.jpeg").exists()
+
+    def test_homography_conversion(self, tmp_path):
+        import json as _json
+        from sports_field_homography_tpu.geometry.court import load_court_poi
+        from sports_field_homography_tpu.prep.narya import convert_narya_homography
+
+        (tmp_path / "img").mkdir()
+        (tmp_path / "homo").mkdir()
+        self._frame(tmp_path / "img" / "100.jpg", 1024, 1024)
+        H = np.array([[0.9, 0.05, 0.1], [0.02, 0.8, 0.05], [0.01, 0.0, 1.0]])
+        np.save(tmp_path / "homo" / "100_homo.npy", H[None])   # (1,3,3) form
+
+        poi_path = "/root/repo/assets/template_pitch_points.json"
+        n = convert_narya_homography(str(tmp_path / "img"), str(tmp_path / "homo"),
+                                     str(tmp_path / "out/frames"),
+                                     str(tmp_path / "out"), poi_path,
+                                     frame_size=(64, 36))
+        assert n == 1
+        labels = _json.load(open(tmp_path / "out/manual_anno.json"))
+        rec = labels["000001"]
+        assert rec["rmse"] == 7.0                   # 5 base + 2 for 1024x1024
+        # expected: inv(H) applied to centered field PoI, then +0.5
+        field = load_court_poi(poi_path, normalize=False) - 0.5
+        ones = np.ones((field.shape[0], 1))
+        ph = np.concatenate([field, ones], 1) @ np.linalg.inv(H).T
+        expect = ph[:, :2] / ph[:, 2:3] + 0.5
+        np.testing.assert_allclose(np.asarray(rec["poi"]), expect, atol=1e-12)

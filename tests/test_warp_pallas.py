@@ -58,3 +58,27 @@ def test_pallas_nondivisible_query_count():
     out = np.asarray(warp_nearest_interval_pallas(table, th, (30, 50),
                                                   interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_warp_kernel_config_dispatch():
+    """warp_kernel='pallas' must be reachable from ReconstructorConfig and
+    produce outputs identical to the XLA kernel (interpret mode on CPU)."""
+    import jax
+    from sports_field_homography_tpu.models import (
+        Reconstructor, ReconstructorConfig)
+
+    table = build_interval_table(load((64, 32)))
+    th = thetas(2)
+
+    def warp_with(kernel):
+        cfg = ReconstructorConfig(
+            target_size=(64, 32), unet_size=(64, 32), warp_size=(64, 32),
+            warp_with_nearest=True, warp_kernel=kernel)
+        model = Reconstructor(cfg)
+        return model.apply({}, th, jnp.zeros((2, 32, 64, 1)),
+                           warp_table=table, method=model.warp)
+
+    out_x = np.asarray(warp_with("xla"))
+    out_p = np.asarray(warp_with("pallas"))
+    assert out_x.shape == (2, 32, 64)
+    np.testing.assert_array_equal(out_x, out_p)
