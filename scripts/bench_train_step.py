@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--batch", type=int, default=26)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--fused_bn", action="store_true",
+                    help="Pallas fused BN+ReLU in the UNet (ops/bn_pallas)")
     args = ap.parse_args()
 
     import numpy as np
@@ -37,6 +39,10 @@ def main():
 
     batch = args.batch
     model, court_img, court_poi, cfg = _flagship(batch, dtype=jnp.bfloat16)
+    if args.fused_bn:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, fused_bn=True)
+        model = model.clone(config=cfg)
     w, h = cfg.target_size
 
     rng = np.random.RandomState(0)
@@ -92,7 +98,8 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, batch * args.iters / dt)
     ms = batch / best * 1000
-    print(f"train_step batch {batch} @{w}x{h}: {best:.1f} img/s "
+    print(f"train_step batch {batch} @{w}x{h}"
+          f"{' fused_bn' if args.fused_bn else ''}: {best:.1f} img/s "
           f"({ms:.1f} ms/step)")
 
 

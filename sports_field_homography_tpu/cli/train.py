@@ -72,6 +72,18 @@ def main(argv=None):
     log_path = os.path.join(os.path.dirname(args.cp_dir.rstrip("/")), "train.txt")
     logger = get_logger(log_path, format="%(message)s")
 
+    if jax.default_backend() == "tpu" and args.batchsize % 8:
+        # XLA pads the batch to the next sublane multiple inside every
+        # level-1 op (measured: batch 26 and batch 32 cost the same
+        # 425 ms/step; batch 24 runs 316 ms) — see BASELINE.md
+        next_down = args.batchsize - args.batchsize % 8
+        logger.info(
+            f"NOTE: batch size {args.batchsize} is not a multiple of 8; on "
+            f"TPU it computes like batch {args.batchsize + 8 - args.batchsize % 8} "
+            f"(sublane padding). Batch {next_down or 8} or "
+            f"{args.batchsize + 8 - args.batchsize % 8} trains strictly faster "
+            f"per image.")
+
     bundle = build_model(args, load=args.load, warp_with_nearest=False)
     model, variables = bundle.model, bundle.variables
 

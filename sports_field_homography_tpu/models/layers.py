@@ -82,7 +82,13 @@ class BatchNorm(nn.Module):
     folded: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 fuse_relu: bool = False) -> jnp.ndarray:
+        """``fuse_relu``: return relu(bn(x)) instead of bn(x).  In train
+        mode on supported shapes this runs the Pallas fused kernels
+        (ops/bn_pallas: lane-packed, batch-padding-free — measured 8-12 ms
+        -> ~1 ms per level-1 BN); all other paths compute relu here so the
+        contract is uniform."""
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -93,7 +99,20 @@ class BatchNorm(nn.Module):
         if self.folded and not train:
             # same f32 accumulate + downcast as the general path below, so
             # folded outputs are bit-identical to scale=1/mean=0/var=1-eps
-            return (x.astype(jnp.float32) + bias).astype(self.dtype)
+            y = (x.astype(jnp.float32) + bias).astype(self.dtype)
+            return nn.relu(y) if fuse_relu else y
+
+        if (fuse_relu and train and self.axis_name is None
+                and not self.is_initializing()):
+            from ..ops.bn_pallas import bn_relu_train, supports_fused_bn
+            if supports_fused_bn(x.shape, x.dtype):
+                y, mean, var = bn_relu_train(x, scale, bias, self.eps)
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+                return y
 
         if train:
             xf = x.astype(jnp.float32)
@@ -115,7 +134,8 @@ class BatchNorm(nn.Module):
 
         inv = jax.lax.rsqrt(var + self.eps) * scale
         y = (x.astype(jnp.float32) - mean) * inv + bias
-        return y.astype(self.dtype)
+        y = y.astype(self.dtype)
+        return nn.relu(y) if fuse_relu else y
 
 
 def max_pool(x: jnp.ndarray, window: int, stride: int, padding: int = 0) -> jnp.ndarray:

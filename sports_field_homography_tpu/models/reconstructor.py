@@ -84,6 +84,10 @@ class ReconstructorConfig:
     # "auto" (measured policy; see _select_pallas_warp).  Bit-identical
     # outputs either way.
     warp_kernel: str = "auto"
+    # Pallas fused train-mode BN+ReLU in the UNet (ops/bn_pallas):
+    # f32-rounding-level equivalent to the XLA path (reduction order
+    # differs), inactive at eval and under sync-BN.
+    fused_bn: bool = False
 
     def __post_init__(self):
         assert self.warp_kernel in ("auto", "xla", "pallas"), self.warp_kernel
@@ -137,7 +141,7 @@ class Reconstructor(nn.Module):
             self.unet = UNet(mask_classes=cfg.mask_classes,
                              bilinear=cfg.unet_bilinear, uv=cfg.unet_uv,
                              dtype=self.dtype, axis_name=self.bn_axis_name,
-                             folded=self.bn_folded)
+                             folded=self.bn_folded, fused_bn=cfg.fused_bn)
         if cfg.use_resnet:
             spec = resnet_models[cfg.resnet_name]
             self.resnet_reg = ResNetSTN(dtype=self.dtype,

@@ -37,24 +37,29 @@ class DoubleConv(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Any = None
     folded: bool = False
+    # route the BN+ReLU pairs through the Pallas fused train kernels
+    # (ops/bn_pallas) when shapes allow; f32-rounding-level equivalent
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
         in_ch = x.shape[-1]
+        fuse = self.fused_bn
         x = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=torch_conv_kernel_init,
                     bias_init=torch_bias_init(9 * in_ch), name="conv1")(x)
         x = BatchNorm(mid, dtype=self.dtype, axis_name=self.axis_name,
-                      folded=self.folded, name="bn1")(x, train)
-        x = nn.relu(x)
+                      folded=self.folded, name="bn1")(x, train, fuse_relu=fuse)
+        if not fuse:
+            x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=torch_conv_kernel_init,
                     bias_init=torch_bias_init(9 * mid), name="conv2")(x)
         x = BatchNorm(self.out_channels, dtype=self.dtype,
                       axis_name=self.axis_name, folded=self.folded,
-                      name="bn2")(x, train)
-        return nn.relu(x)
+                      name="bn2")(x, train, fuse_relu=fuse)
+        return x if fuse else nn.relu(x)
 
 
 class Down(nn.Module):
@@ -64,13 +69,14 @@ class Down(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Any = None
     folded: bool = False
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = max_pool(x, 2, 2)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           axis_name=self.axis_name, folded=self.folded,
-                          name="conv")(x, train)
+                          fused_bn=self.fused_bn, name="conv")(x, train)
 
 
 class Deconv2x(nn.Module):
@@ -116,6 +122,7 @@ class Up(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Any = None
     folded: bool = False
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -137,10 +144,11 @@ class Up(nn.Module):
         if self.bilinear:
             return DoubleConv(self.out_channels, mid_channels=x.shape[-1] // 2,
                               dtype=self.dtype, axis_name=self.axis_name,
-                              folded=self.folded, name="conv")(x, train)
+                              folded=self.folded, fused_bn=self.fused_bn,
+                              name="conv")(x, train)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           axis_name=self.axis_name, folded=self.folded,
-                          name="conv")(x, train)
+                          fused_bn=self.fused_bn, name="conv")(x, train)
 
 
 class OutConv(nn.Module):
@@ -170,32 +178,23 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Any = None
     folded: bool = False
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         factor = 2 if self.bilinear else 1
         x1 = DoubleConv(64, dtype=self.dtype, axis_name=self.axis_name,
-                        folded=self.folded, name="inc")(x, train)
-        x2 = Down(128, dtype=self.dtype, axis_name=self.axis_name,
-                     folded=self.folded, name="down1")(x1, train)
-        x3 = Down(256, dtype=self.dtype, axis_name=self.axis_name,
-                     folded=self.folded, name="down2")(x2, train)
-        x4 = Down(512, dtype=self.dtype, axis_name=self.axis_name,
-                     folded=self.folded, name="down3")(x3, train)
-        x_top = Down(1024 // factor, dtype=self.dtype,
-                     axis_name=self.axis_name, folded=self.folded,
-                     name="down4")(x4, train)
-        y = Up(512 // factor, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, folded=self.folded,
-               name="up1")(x_top, x4, train)
-        y = Up(256 // factor, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, folded=self.folded,
-               name="up2")(y, x3, train)
-        y = Up(128 // factor, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, folded=self.folded,
-               name="up3")(y, x2, train)
-        y = Up(64, self.bilinear, dtype=self.dtype,
-               axis_name=self.axis_name, folded=self.folded, name="up4")(y, x1, train)
+                        folded=self.folded, fused_bn=self.fused_bn, name="inc")(x, train)
+        common = dict(dtype=self.dtype, axis_name=self.axis_name,
+                      folded=self.folded, fused_bn=self.fused_bn)
+        x2 = Down(128, name="down1", **common)(x1, train)
+        x3 = Down(256, name="down2", **common)(x2, train)
+        x4 = Down(512, name="down3", **common)(x3, train)
+        x_top = Down(1024 // factor, name="down4", **common)(x4, train)
+        y = Up(512 // factor, self.bilinear, name="up1", **common)(x_top, x4, train)
+        y = Up(256 // factor, self.bilinear, name="up2", **common)(y, x3, train)
+        y = Up(128 // factor, self.bilinear, name="up3", **common)(y, x2, train)
+        y = Up(64, self.bilinear, name="up4", **common)(y, x1, train)
         logits = OutConv(self.mask_classes, dtype=self.dtype, name="outc")(y)
         uv = OutConv(2, dtype=self.dtype, name="outuv")(y) if self.uv else None
         return logits, x_top, uv
