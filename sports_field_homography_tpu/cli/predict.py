@@ -167,7 +167,8 @@ def process(argv=None, num_data_workers: int = 4):
                         num_workers=num_data_workers)
     else:
         data = VideoDataset(path=args.video_path, target_size=args.target_size,
-                            keep_orig_img=keep_orig_img, raw_uint8=True)
+                            keep_orig_img=keep_orig_img, raw_uint8=True,
+                            decode_workers=getattr(args, "video_workers", 1))
         loader = Loader(data, args.batchsize, shuffle=False, num_workers=1)
     n_data = len(data)
 

@@ -213,7 +213,8 @@ def main(argv=None):
             cp_dir=args.cp_dir, log_dir=args.log_dir, logger=logger,
             vizualize=args.viz, mesh=mesh, state_holder=state_holder,
             resume_state_path=(os.path.join(args.cp_dir, "last_state.msgpack")
-                               if args.resume else None))
+                               if args.resume else None),
+            async_ckpt=getattr(args, "async_ckpt", False))
         return state
     except KeyboardInterrupt:
         save_model()

@@ -213,11 +213,22 @@ class VideoDataset:
 
     ``__getitem__`` assumes in-order access (frames are read sequentially
     with a seek-and-retry fallback and a black-frame last resort).
+
+    ``decode_workers > 1`` turns on parallel decode: the frame range is
+    split into contiguous chunks, one decoder thread per chunk, each with
+    its own ``cv2.VideoCapture`` seeked once to its chunk start.  Decoded
+    (and preprocessed) frames land in a shared ordered buffer with a
+    bounded decode-ahead window, so ``__getitem__`` stays correct under
+    the Loader's concurrent in-order access.  Host decode is the
+    reference pipeline's bottleneck hidden behind DataLoader workers
+    (reference ``predict.py:219-226``); here it scales the same way
+    without torch.
     """
 
     def __init__(self, path: str, target_size=(640, 360),
                  max_frames: Optional[int] = None, keep_orig_img: bool = False,
-                 raw_uint8: bool = False):
+                 raw_uint8: bool = False, decode_workers: int = 1,
+                 decode_ahead: int = 64):
         import cv2
 
         self.raw_uint8 = raw_uint8
@@ -230,6 +241,9 @@ class VideoDataset:
         num_frames = int(cv2.VideoCapture(self.path).get(cv2.CAP_PROP_FRAME_COUNT))
         self.num_frames = (min(num_frames, max_frames)
                            if max_frames is not None else num_frames)
+        self.decode_workers = max(1, int(decode_workers))
+        self.decode_ahead = max(self.decode_workers * 4, int(decode_ahead))
+        self._pool = None
 
     def __len__(self) -> int:
         return self.num_frames
@@ -251,19 +265,22 @@ class VideoDataset:
             frame = frame / 255.0
         return frame
 
-    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+    def _read_with_fallback(self, cap, i: int) -> np.ndarray:
+        """One sequential read with the reference's seek-retry + black-frame
+        fallback (reference ``utils/dataset.py:330-344``)."""
         import cv2
 
-        if self.cap is None:
-            self.cap = cv2.VideoCapture(self.path)
-        ret, frame = self.cap.read()
+        ret, frame = cap.read()
         if ret is False:
-            self.cap.set(cv2.CAP_PROP_POS_FRAMES, i)
-            ret, frame = self.cap.read()
+            cap.set(cv2.CAP_PROP_POS_FRAMES, i)
+            ret, frame = cap.read()
             if ret is False:
-                w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-                h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
                 frame = np.zeros((h, w, 3), dtype=np.uint8)
+        return frame
+
+    def _to_sample(self, frame: np.ndarray, i: int) -> Dict[str, np.ndarray]:
         img = self.preprocess_frame(frame, self.target_size,
                                     normalize=not self.raw_uint8)
         if self.raw_uint8:
@@ -273,6 +290,96 @@ class VideoDataset:
             sample["orig_img"] = frame
         return sample
 
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        if self.decode_workers > 1:
+            if self._pool is None:
+                self._pool = _VideoDecodePool(self)
+            return self._pool.get(i)
+        if self.cap is None:
+            self.cap = cv2.VideoCapture(self.path)
+        frame = self._read_with_fallback(self.cap, i)
+        return self._to_sample(frame, i)
+
     def __del__(self):
         if self.cap is not None:
             self.cap.release()
+
+
+class _VideoDecodePool:
+    """Chunked multi-capture decoder behind ``VideoDataset.__getitem__``.
+
+    Each worker owns frames [w*chunk, min((w+1)*chunk, n)), seeks its own
+    capture once, then reads sequentially — seeks are what make random
+    access slow, so each worker pays exactly one.  Decoded samples are
+    published to an ordered dict under a condition variable; each worker
+    stalls once it has ``decode_ahead / workers`` of its own frames
+    buffered unconsumed, so every chunk decodes ahead in parallel while
+    total buffered memory stays bounded.
+    """
+
+    def __init__(self, ds: "VideoDataset"):
+        import threading
+
+        self.ds = ds
+        self.n = ds.num_frames
+        self.cond = threading.Condition()
+        self.ready: Dict[int, object] = {}
+        self.next_needed = 0          # lowest index not yet consumed
+        self.last = None              # (i, sample): tail-padding replays
+        self.error = None
+        workers = min(ds.decode_workers, max(1, self.n))
+        chunk = (self.n + workers - 1) // workers
+        self.per_ahead = max(4, ds.decode_ahead // workers)
+        self.threads = []
+        for w in range(workers):
+            lo, hi = w * chunk, min((w + 1) * chunk, self.n)
+            if lo >= hi:
+                break
+            t = threading.Thread(target=self._decode_range, args=(lo, hi),
+                                 daemon=True)
+            t.start()
+            self.threads.append(t)
+
+    def _decode_range(self, lo: int, hi: int):
+        import cv2
+
+        try:
+            cap = cv2.VideoCapture(self.ds.path)
+            if lo:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
+            for i in range(lo, hi):
+                frame = self.ds._read_with_fallback(cap, i)
+                sample = self.ds._to_sample(frame, i)
+                with self.cond:
+                    # per-worker decode-ahead window over its own chunk
+                    while (self.error is None and
+                           i - max(self.next_needed, lo) >= self.per_ahead):
+                        self.cond.wait()
+                    if self.error is not None:
+                        return
+                    self.ready[i] = sample
+                    self.cond.notify_all()
+            cap.release()
+        except BaseException as e:      # surface to consumers
+            with self.cond:
+                self.error = e
+                self.cond.notify_all()
+
+    def get(self, i: int):
+        with self.cond:
+            # the Loader pads tail batches by repeating the last index
+            if (self.last is not None and self.last[0] == i
+                    and i not in self.ready):
+                return self.last[1]
+            while i not in self.ready and self.error is None:
+                self.cond.wait()
+            if self.error is not None:
+                raise self.error
+            sample = self.ready.pop(i)
+            self.last = (i, sample)
+            if i >= self.next_needed:
+                self.next_needed = i + 1
+                self.cond.notify_all()
+            return sample

@@ -195,8 +195,13 @@ def train_net(model, variables, court_img, court_poi, train_loader, n_train,
               opt="RMSprop", epochs=5, lr=1e-4, w_decay=1e-8,
               target_size=(1280, 720), cp_dir=None, log_dir=None, logger=None,
               vizualize=False, mesh=None, state_holder=None,
-              resume_state_path=None):
-    """Host-side training orchestration (reference ``train_net``)."""
+              resume_state_path=None, async_ckpt=False):
+    """Host-side training orchestration (reference ``train_net``).
+
+    ``async_ckpt``: write epoch checkpoints through an orbax
+    ``AsyncSaver`` (CP_epoch{n}.orbax directories) so serialization
+    overlaps the next epoch's compute; the saver is joined before return.
+    """
     import logging
     if logger is None:
         logger = logging
@@ -268,6 +273,7 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         tqdm = None
 
     global_step = int(state["step"])
+    saver = None                      # lazy AsyncSaver when async_ckpt
     for epoch in range(epochs):
         epoch_loss = 0.0
         t0 = time.time()
@@ -357,11 +363,24 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
 
         if cp_dir is not None:
             os.makedirs(cp_dir, exist_ok=True)
-            path = os.path.join(cp_dir, f"CP_epoch{epoch + 1}.msgpack")
-            save_checkpoint(path, {"params": state["params"],
-                                   "batch_stats": state["batch_stats"]})
-            logger.info(f"Checkpoint {epoch + 1} saved !")
+            ck = {"params": state["params"],
+                  "batch_stats": state["batch_stats"]}
+            if async_ckpt:
+                if saver is None:
+                    from ..utils.checkpoint import AsyncSaver
+                    saver = AsyncSaver()
+                saver.save(os.path.join(cp_dir, f"CP_epoch{epoch + 1}.orbax"),
+                           ck)
+                logger.info(f"Checkpoint {epoch + 1} saving (async)...")
+            else:
+                path = os.path.join(cp_dir, f"CP_epoch{epoch + 1}.msgpack")
+                save_checkpoint(path, ck)
+                logger.info(f"Checkpoint {epoch + 1} saved !")
 
+    if saver is not None:
+        saver.wait()
+        saver.close()
+        logger.info("Async checkpoints flushed.")
     if writer is not None:
         writer.close()
     return state

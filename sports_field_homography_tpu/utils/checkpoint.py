@@ -17,7 +17,40 @@ import os
 from typing import Any, Dict, Optional
 
 __all__ = ["save_checkpoint", "load_checkpoint", "save_train_state",
-           "load_train_state"]
+           "load_train_state", "AsyncSaver"]
+
+
+class AsyncSaver:
+    """Non-blocking orbax checkpoint writes.
+
+    Epoch checkpoints return immediately and serialize to disk while the
+    next epoch trains; ``wait()`` joins all pending writes (call before
+    process exit and before reading a just-written checkpoint).  Under a
+    ``jax.distributed`` multi-host runtime, orbax's async machinery
+    coordinates the processes (each writes its shards; host 0 commits),
+    which is why train saves route through one shared instance.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, variables) -> None:
+        import jax
+
+        # device arrays serialize directly; host numpy works too
+        self._ckptr.save(os.path.abspath(path),
+                         args=self._ocp.args.StandardSave(
+                             jax.tree.map(lambda x: x, variables)),
+                         force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
 
 
 def save_checkpoint(path: str, variables: Dict[str, Any]) -> None:

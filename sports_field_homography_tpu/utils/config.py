@@ -112,9 +112,10 @@ def make_base_parser() -> argparse.ArgumentParser:
                         help="Model compute dtype: bfloat16 (fast) or float32 (parity)")
     parser.add_argument("--warp_kernel", type=str, default="auto",
                         choices=("auto", "xla", "pallas"),
-                        help="Nearest interval-warp kernel (auto: Pallas for "
-                             "large-area warps on TPU, XLA otherwise; "
-                             "bit-identical outputs)")
+                        help="Nearest interval-warp kernel; bit-identical "
+                             "outputs (auto=xla per the measurements in "
+                             "BASELINE.md; pallas is the guaranteed-fusion "
+                             "fallback)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Data-parallel devices (default: all visible)")
     # multi-host (DCN) runtime; see parallel/distributed.py.  With only
@@ -155,6 +156,10 @@ def get_training_args(ret_parser: bool = False, argv=None):
     parser.add_argument("--val_step_n", dest="val_step_n", type=int, default=None)
     parser.add_argument("--cp_dir", dest="cp_dir", type=str, default=None)
     parser.add_argument("--log_dir", dest="log_dir", type=str, default=None)
+    parser.add_argument("--async_ckpt", action="store_true", default=False,
+                        help="Write epoch checkpoints asynchronously via "
+                             "orbax (CP_epoch{n}.orbax dirs); serialization "
+                             "overlaps the next epoch")
     parser.add_argument("--resume", action="store_true", default=False,
                         help="Resume full training state (params + optimizer "
                              "+ step) from cp_dir/last_state.msgpack")
@@ -180,6 +185,9 @@ def get_prediction_args(argv=None):
     parser = make_base_parser()
     parser.add_argument("--video_path", type=str, default=None,
                         help="Path to video to process (used when img_dir is empty)")
+    parser.add_argument("--video_workers", type=int, default=1,
+                        help="Parallel video decode threads (chunked "
+                             "captures; 1 = sequential like the reference)")
     parser.add_argument("--dst_dir", type=str, default=None,
                         help="Directory where the results will be saved")
     parser.add_argument("--req_outputs", type=str,

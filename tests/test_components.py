@@ -356,3 +356,46 @@ class TestNaryaConverters:
         ph = np.concatenate([field, ones], 1) @ np.linalg.inv(H).T
         expect = ph[:, :2] / ph[:, 2:3] + 0.5
         np.testing.assert_allclose(np.asarray(rec["poi"]), expect, atol=1e-12)
+
+
+class TestParallelVideoDecode:
+    def _write_video(self, path, n=25, w=64, h=36):
+        import cv2
+        four = cv2.VideoWriter_fourcc(*"mp4v")
+        wr = cv2.VideoWriter(str(path), four, 30, (w, h))
+        rng = np.random.RandomState(0)
+        for _ in range(n):
+            wr.write(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+        wr.release()
+
+    def test_parallel_matches_sequential(self, tmp_path):
+        from sports_field_homography_tpu.data.dataset import VideoDataset
+
+        path = tmp_path / "clip.mp4"
+        self._write_video(path)
+        seq = VideoDataset(str(path), target_size=(32, 18))
+        par = VideoDataset(str(path), target_size=(32, 18), decode_workers=4,
+                           decode_ahead=8)
+        assert len(par) == len(seq) == 25
+        for i in range(len(seq)):
+            a, b = seq[i], par[i]
+            assert a["name"] == b["name"]
+            np.testing.assert_array_equal(a["image"], b["image"])
+        # tail-padding replays of the last index must not deadlock
+        last = par[len(par) - 1]
+        assert last["name"].endswith(str(len(par) - 1).zfill(6))
+
+    def test_parallel_through_loader(self, tmp_path):
+        from sports_field_homography_tpu.data.dataset import VideoDataset
+        from sports_field_homography_tpu.data.loader import Loader
+
+        path = tmp_path / "clip.mp4"
+        self._write_video(path, n=23)
+        data = VideoDataset(str(path), target_size=(32, 18), decode_workers=3,
+                            decode_ahead=6)
+        ref = VideoDataset(str(path), target_size=(32, 18))
+        batches = list(Loader(data, 8, shuffle=False, num_workers=1))
+        assert sum(b["num_valid"] for b in batches) == 23
+        flat = np.concatenate([b["image"] for b in batches])[:23]
+        expect = np.stack([ref[i]["image"] for i in range(23)])
+        np.testing.assert_array_equal(flat, expect)

@@ -109,3 +109,21 @@ def test_mapping_example_runs(tmp_path, monkeypatch):
     assert poi.shape == (52, 2)
     assert os.path.exists(tmp_path / "a.png")
     assert os.path.exists(tmp_path / "b.png")
+
+
+def test_async_saver_roundtrip(tmp_path):
+    import numpy as np
+    from sports_field_homography_tpu.utils.checkpoint import (
+        AsyncSaver, load_checkpoint)
+
+    tree = {"params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+            "batch_stats": {"m": np.ones((4,), np.float32)}}
+    saver = AsyncSaver()
+    path = str(tmp_path / "CP_epoch1.orbax")
+    saver.save(path, tree)
+    saver.wait()
+    saver.close()
+    out = load_checkpoint(path, target=tree)
+    np.testing.assert_array_equal(out["params"]["w"], tree["params"]["w"])
+    np.testing.assert_array_equal(out["batch_stats"]["m"],
+                                  tree["batch_stats"]["m"])
