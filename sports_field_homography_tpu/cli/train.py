@@ -153,6 +153,17 @@ def main(argv=None):
         args.reproj_loss = None
         args.consist_loss = None
 
+    if args.use_resnet and args.rec_loss and not args.reproj_loss:
+        # theta supervised only by the warp MSE has a degenerate optimum
+        # (homography off-template -> zero gradient, constant loss); the
+        # reference's production conf always sets reproj_loss: RRMSE
+        # (conf/train_reconstructor.yaml.example:37).  Same default as the
+        # reference (utils/config.py:124) — this is a heads-up, not a change.
+        logger.info("NOTE: reproj_loss is disabled; the homography head is "
+                    "supervised only by rec_loss, which cannot recover from "
+                    "off-template warps. Set reproj_loss (e.g. RRMSE) for "
+                    "stable theta training.")
+
     loss_cfg = LossConfig(
         seg_loss=args.seg_loss, rec_loss=args.rec_loss,
         reproj_loss=args.reproj_loss, consist_loss=args.consist_loss,

@@ -334,7 +334,10 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                            + result["val_reproj_score"]
                            + result["val_consist_score"] + result["val_uv_score"])
                 new_lr = scheduler.step(result["val_reproj_px"])
-                if new_lr != current_learning_rate(state["opt_state"]):
+                # compare at f32: the injected hyperparam lives on device in
+                # f32, so a python-float != comparison fires spuriously
+                if np.float32(new_lr) != np.float32(
+                        current_learning_rate(state["opt_state"])):
                     state["opt_state"] = set_learning_rate(state["opt_state"], new_lr)
                     logger.info("Learning rate has been changed: {}".format(new_lr))
                 if writer is not None:
