@@ -94,7 +94,8 @@ def main(argv=None):
     args = get_test_args(argv)
     epochs = args.test_epochs.split(",")
     for e in epochs:
-        for ext in (".msgpack", ".pth"):
+        # .orbax: directory checkpoints written by --async_ckpt training
+        for ext in (".msgpack", ".pth", ".orbax"):
             cp_name = "CP_epoch{}{}".format(e, ext)
             path = os.path.join(args.cp_dir, cp_name)
             if os.path.exists(path):
