@@ -232,3 +232,27 @@ def test_resume_restores_optimizer_state(dataset_root, tmp_path):
     out_state = main(["-c", str(conf_path), "--resume"])
     # 8 train imgs / batch 4 = 2 more steps on top of the resumed 7
     assert int(out_state["step"]) == 9
+
+
+def test_train_cli_async_ckpt_and_orbax_sweep(dataset_root, tmp_path):
+    """--async_ckpt writes CP_epoch{n}.orbax; the sweep CLI consumes it."""
+    from sports_field_homography_tpu.cli.train import main
+
+    cp_dir = tmp_path / "cp"
+    conf = make_conf(dataset_root, cp_dir, tmp_path / "logs")
+    conf_path = tmp_path / "conf.yaml"
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    state = main(["-c", str(conf_path), "--async_ckpt"])
+    assert state is not None
+    assert os.path.isdir(cp_dir / "CP_epoch1.orbax")
+    assert not os.path.exists(cp_dir / "CP_epoch1.msgpack")
+
+    from sports_field_homography_tpu.cli.test import main as test_main
+    test_main(["--cp_dir", str(cp_dir), "--test_epochs", "1",
+               "--img_dir", conf["img_dir"], "--mask_dir", conf["mask_dir"],
+               "--anno_dir", conf["anno_dir"], "--batchsize", "4",
+               "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+               "--compute_dtype", "float32"])
+    assert "Reprojection px:" in open(cp_dir / "test_scores.txt").read()
