@@ -21,7 +21,10 @@ on sublanes x C 64->128 on lanes).  XLA therefore materializes relayout
 copies around every call — both 2D-view formulations were tried, (N*H*W,
 C) and the {3,0,2,1}-memory-order (H*W, N*C) — and the duplicated
 731 MB-unpadded / 1.76 GB-padded level-1 buffers push the batch-26 step
-over the 16 GB HBM (16.09 / 17.59 GB respectively).  Winning here
+over the 16 GB HBM (16.09 / 17.59 GB respectively); at batch 8, where
+everything fits, the kernels compile and run via Mosaic but the step
+measures 148.8 vs 112.6 ms — the relayout copies cost more than the
+kernels save.  Winning here
 requires replacing the level-1 *convolutions* too (a fused Pallas
 DoubleConv fwd+bwd that owns its layouts end-to-end) — see ROADMAP.md.
 The flag remains usable at smaller batches/resolutions.
