@@ -3,7 +3,6 @@ pipeline (uint16 TIFF masks), hub constructors, mapping examples."""
 import os
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

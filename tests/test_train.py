@@ -201,7 +201,7 @@ def test_resume_restores_optimizer_state(dataset_root, tmp_path):
     import yaml
     from sports_field_homography_tpu.cli.train import main
     from sports_field_homography_tpu.utils.checkpoint import (
-        load_train_state, save_train_state)
+        save_train_state)
     from sports_field_homography_tpu.train.loop import init_train_state
     from sports_field_homography_tpu.train.optim import make_optimizer
     from sports_field_homography_tpu.cli.engine import build_model

@@ -4,7 +4,6 @@ Runs in interpret mode on the CPU test platform; the same kernel compiles
 via Mosaic on TPU.
 """
 import numpy as np
-import pytest
 from PIL import Image
 
 import jax.numpy as jnp
