@@ -10,3 +10,8 @@ from .preparation import (
     generate_onehot,
     convert_rgb_to_onehot,
 )
+from .narya import (
+    NARYA_TO_OUR_POI,
+    convert_narya_keypoints,
+    convert_narya_homography,
+)
