@@ -8,7 +8,7 @@ Two program contexts (real TPU):
     one-hot to HBM (25x regression documented in ops/warp_pallas.py).
 
 Grounds the "auto" kernel policy in models/reconstructor.py
-(_PALLAS_AUTO_MIN_QUERIES).  Timing rule: end-to-end program with a
+(_select_pallas_warp).  Timing rule: end-to-end program with a
 scalar host fetch per pass (block_until_ready does not truly sync on the
 tunneled runtime — CLAUDE.md).
 """

@@ -44,6 +44,9 @@ def main(argv=None):
     ap.add_argument("--size", nargs=2, type=int, default=(320, 180))
     ap.add_argument("--val_frac", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--uv", action="store_true",
+                    help="also write masks_uv/ uint16 (mask,u,v) tiffs — "
+                         "the unet_uv training inputs (notebook step 9)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,20 +64,32 @@ def main(argv=None):
     rng = np.random.RandomState(args.seed)
 
     warp = jax.jit(lambda t, th: warp_homography(t, th, (h, w), "nearest"))
-    tmpl_b = jnp.asarray(np.tile(tmpl[None, :, :, None], (32, 1, 1, 1)))
+    chans = [tmpl[:, :, None]]
+    if args.uv:
+        # normalized (0,1] coordinate ramps in template space, warped by the
+        # SAME homography as the label map (ground truth by construction)
+        from sports_field_homography_tpu.geometry.court import (
+            generate_uv_template)
+        u16, v16 = generate_uv_template((w, h), dtype=np.uint16)
+        chans += [(u16.astype(np.float32) / w)[:, :, None],
+                  (v16.astype(np.float32) / h)[:, :, None]]
+    tmpl_b = jnp.asarray(np.tile(np.concatenate(chans, -1)[None],
+                                 (32, 1, 1, 1)))
+    max16 = float(np.iinfo(np.uint16).max)
 
     n_val = max(1, int(args.n * args.val_frac))
     splits = [("train_game", args.n - n_val), ("val_game", n_val)]
     idx = 0
     for game, count in splits:
-        for d in ("frames", "masks", "anno"):
+        dirs = ("frames", "masks", "anno") + (("masks_uv",) if args.uv else ())
+        for d in dirs:
             os.makedirs(os.path.join(args.dst, d, game), exist_ok=True)
         remaining = count
         while remaining > 0:
             bs = min(32, remaining)
             thetas = np.stack([sample_theta(rng) for _ in range(bs)])
-            labels = np.asarray(warp(tmpl_b[:bs], jnp.asarray(thetas)))[..., 0]
-            labels = np.round(labels * 4).astype(np.uint8)
+            warped = np.asarray(warp(tmpl_b[:bs], jnp.asarray(thetas)))
+            labels = np.round(warped[..., 0] * 4).astype(np.uint8)
             from sports_field_homography_tpu.geometry.homography import (
                 inverse_3x3, transform_points)
             inv = np.asarray(inverse_3x3(jnp.asarray(thetas)))
@@ -93,6 +108,15 @@ def main(argv=None):
                     os.path.join(args.dst, "frames", game, name + ".png"))
                 Image.fromarray(labels[i]).save(
                     os.path.join(args.dst, "masks", game, name + ".png"))
+                if args.uv:
+                    import cv2
+                    uv_mask = np.stack(
+                        (labels[i].astype(np.uint16),
+                         (warped[i, ..., 1] * max16).astype(np.uint16),
+                         (warped[i, ..., 2] * max16).astype(np.uint16)),
+                        axis=2)
+                    cv2.imwrite(os.path.join(args.dst, "masks_uv", game,
+                                             name + ".tif"), uv_mask)
                 visible = ((pts01[i, :, 0] > 0) & (pts01[i, :, 0] < 1)
                            & (pts01[i, :, 1] > 0) & (pts01[i, :, 1] < 1))
                 anno_poi = np.concatenate(

@@ -141,7 +141,9 @@ def process(argv=None, num_data_workers: int = 4):
         # multi-chip data-parallel inference: batch sharded over the mesh,
         # same jitted predict body as single-chip (shard_predict_fn
         # delegates to jit_predict_fn with a mesh)
-        from ..parallel.mesh import make_mesh, shard_predict_fn
+        from ..parallel.mesh import (check_batch_divisible, make_mesh,
+                                     shard_predict_fn)
+        check_batch_divisible(args.batchsize, args.num_devices)
         mesh = make_mesh(args.num_devices)
         predict, batch_sharding, repl = shard_predict_fn(
             bundle, mesh, consistency=consistency, project_poi=project_poi,

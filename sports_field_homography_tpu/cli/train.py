@@ -191,10 +191,13 @@ def main(argv=None):
     mesh = None
     if multihost:
         from ..parallel.distributed import global_mesh
+        from ..parallel.mesh import check_batch_divisible
         mesh = global_mesh()
+        check_batch_divisible(args.batchsize, mesh.devices.size)
         logger.info(f"Multi-host data-parallel mesh: {mesh}")
     elif args.num_devices is not None and args.num_devices > 1:
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import check_batch_divisible, make_mesh
+        check_batch_divisible(args.batchsize, args.num_devices)
         mesh = make_mesh(args.num_devices)
         logger.info(f"Data-parallel mesh: {mesh}")
 

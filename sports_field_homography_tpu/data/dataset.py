@@ -302,9 +302,16 @@ class VideoDataset:
         frame = self._read_with_fallback(self.cap, i)
         return self._to_sample(frame, i)
 
-    def __del__(self):
+    def close(self):
         if self.cap is not None:
             self.cap.release()
+            self.cap = None
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def __del__(self):
+        self.close()
 
 
 class _VideoDecodePool:
@@ -329,6 +336,7 @@ class _VideoDecodePool:
         self.next_needed = 0          # lowest index not yet consumed
         self.last = None              # (i, sample): tail-padding replays
         self.error = None
+        self.stop = False
         workers = min(ds.decode_workers, max(1, self.n))
         chunk = (self.n + workers - 1) // workers
         self.per_ahead = max(4, ds.decode_ahead // workers)
@@ -345,6 +353,7 @@ class _VideoDecodePool:
     def _decode_range(self, lo: int, hi: int):
         import cv2
 
+        cap = None
         try:
             cap = cv2.VideoCapture(self.ds.path)
             if lo:
@@ -354,32 +363,47 @@ class _VideoDecodePool:
                 sample = self.ds._to_sample(frame, i)
                 with self.cond:
                     # per-worker decode-ahead window over its own chunk
-                    while (self.error is None and
+                    while (self.error is None and not self.stop and
                            i - max(self.next_needed, lo) >= self.per_ahead):
                         self.cond.wait()
-                    if self.error is not None:
+                    if self.error is not None or self.stop:
                         return
                     self.ready[i] = sample
                     self.cond.notify_all()
-            cap.release()
         except BaseException as e:      # surface to consumers
             with self.cond:
                 self.error = e
                 self.cond.notify_all()
+        finally:
+            if cap is not None:
+                cap.release()
 
     def get(self, i: int):
         with self.cond:
-            # the Loader pads tail batches by repeating the last index
-            if (self.last is not None and self.last[0] == i
-                    and i not in self.ready):
-                return self.last[1]
-            while i not in self.ready and self.error is None:
+            # The last-replay check must stay inside the wait loop: when two
+            # consumers request the same not-yet-consumed index (tail-padding
+            # duplicates with num_workers>1), the first pops ready[i] — the
+            # second can then only be satisfied from self.last.
+            while True:
+                if i in self.ready:
+                    break
+                if self.error is not None:
+                    raise self.error
+                # the Loader pads tail batches by repeating the last index
+                if self.last is not None and self.last[0] == i:
+                    return self.last[1]
                 self.cond.wait()
-            if self.error is not None:
-                raise self.error
             sample = self.ready.pop(i)
             self.last = (i, sample)
             if i >= self.next_needed:
                 self.next_needed = i + 1
-                self.cond.notify_all()
+            self.cond.notify_all()
             return sample
+
+    def close(self):
+        """Unblock and join the decode threads (each releases its capture)."""
+        with self.cond:
+            self.stop = True
+            self.cond.notify_all()
+        for t in self.threads:
+            t.join(timeout=5.0)

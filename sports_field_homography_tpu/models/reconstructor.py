@@ -108,7 +108,7 @@ class ReconstructorConfig:
                 Input.IMG_AND_MASK_AND_UV: self.mask_classes + 5}[mode]
 
 
-def _select_pallas_warp(kernel: str, n_queries: int) -> bool:
+def _select_pallas_warp(kernel: str) -> bool:
     """Static (trace-time) kernel choice for the nearest interval warp.
 
     Measured in full predict programs on v5e (scripts/bench_warp_variants.py,
@@ -194,7 +194,7 @@ class Reconstructor(nn.Module):
             from ..ops.interval_warp import (warp_bilinear_interval,
                                              warp_nearest_interval)
             if mode == "nearest":
-                if _select_pallas_warp(cfg.warp_kernel, bs * h * w):
+                if _select_pallas_warp(cfg.warp_kernel):
                     from ..ops.warp_pallas import warp_nearest_interval_pallas
                     return warp_nearest_interval_pallas(warp_table, theta,
                                                         (h, w))

@@ -27,8 +27,26 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_train_step",
-           "shard_predict_fn", "spatial_forward_fn"]
+__all__ = ["make_mesh", "check_batch_divisible", "data_sharding",
+           "replicated", "shard_train_step", "shard_predict_fn",
+           "spatial_forward_fn"]
+
+
+def check_batch_divisible(batchsize: int, num_devices: int, flag="--batchsize"):
+    """Fail fast (clear message) before XLA's opaque uneven-sharding error.
+
+    Every batch array is sharded ``P('data')`` over the mesh, which
+    requires ``batchsize % num_devices == 0`` (the Loader pads only the
+    tail batch, not every batch, so auto-rounding silently would change
+    the per-step batch semantics — make the user pick).
+    """
+    if batchsize % num_devices:
+        ok = batchsize - batchsize % num_devices
+        raise SystemExit(
+            f"{flag} {batchsize} is not divisible by num_devices "
+            f"{num_devices}: data-parallel sharding needs equal per-device "
+            f"shards. Use e.g. {flag} {ok or num_devices} or "
+            f"{ok + num_devices}.")
 
 
 def make_mesh(num_devices: Optional[int] = None, spatial: int = 1) -> Mesh:
@@ -48,12 +66,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_train_step(step_fn, mesh: Mesh):
+def shard_train_step(step_fn, mesh: Mesh, n_outputs: int = 2):
     """Wrap a train step (built with ``axis_name='data'``) in shard_map.
 
     State is replicated; every batch array is sharded on its leading
     (batch) dimension.  Gradients are psum-averaged inside ``step_fn``, so
-    the returned state stays replica-identical.
+    the returned state stays replica-identical.  ``n_outputs`` is the
+    number of step outputs, all replicated — 3 for the ``with_grads``
+    histogram variant (grads are pmean'd inside the step too).
     """
 
     def wrapped(state, batch, court_img, court_poi, warp_table=None):
@@ -61,7 +81,7 @@ def shard_train_step(step_fn, mesh: Mesh):
         f = jax.shard_map(
             step_fn, mesh=mesh,
             in_specs=(P(), batch_specs, P(), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(),) * n_outputs,
             check_vma=False,
         )
         return f(state, batch, court_img, court_poi, warp_table)

@@ -37,8 +37,8 @@ from ..utils.checkpoint import save_checkpoint
 from .evaluate import eval_reconstructor, make_eval_step
 from .optim import ReduceLROnPlateau, current_learning_rate, make_optimizer, set_learning_rate
 
-__all__ = ["TrainState", "LossConfig", "make_loss_fn", "make_grad_stats_fn",
-           "make_train_step", "train_net"]
+__all__ = ["TrainState", "LossConfig", "make_loss_fn", "make_train_step",
+           "train_net"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,31 +143,22 @@ def make_loss_fn(model, loss_cfg: LossConfig):
     return loss_fn
 
 
-def make_grad_stats_fn(model, loss_cfg: LossConfig):
-    """Jitted gradient probe for TB histograms (reference ``train.py:246-250``
-    logs grad histograms at validation steps).  Computes grads at the
-    CURRENT params on the given batch without updating anything."""
-    loss_fn = make_loss_fn(model, loss_cfg)
-
-    @jax.jit
-    def grad_stats(state, batch, court_img, court_poi, warp_table=None):
-        grads = jax.grad(
-            lambda p: loss_fn(p, state["batch_stats"], batch, state["step"],
-                              court_img, court_poi, warp_table)[0]
-        )(state["params"])
-        return grads
-
-    return grad_stats
-
-
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
-                    axis_name: Optional[str] = None):
+                    axis_name: Optional[str] = None,
+                    with_grads: bool = False):
     """Build the jitted (or shard_map-able) train step.
 
     Returns ``step(state, batch, court_img, court_poi) -> (state, logs)``
     where logs mirrors the reference's TB scalars.  The court constants are
     arguments, not closures: jit closure constants get re-uploaded per
     dispatch on tunneled TPU runtimes (29 MB template = 78 ms/step).
+
+    ``with_grads``: also return the (pre-update, post-clip-free) gradients
+    — ``step(...) -> (state, logs, grads)`` — for the TB gradient
+    histograms the reference reads off ``.grad`` after ``backward()``
+    (``train.py:246-250``).  This is a second compiled variant used only on
+    validation steps, so histogram steps cost ONE backward like every
+    other step instead of a separate jitted grad probe's extra backward.
     """
     loss_fn = make_loss_fn(model, loss_cfg)
 
@@ -185,6 +176,8 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
         params = optax.apply_updates(state["params"], updates)
         new_state = {"params": params, "batch_stats": new_bs,
                      "opt_state": opt_state, "step": state["step"] + 1}
+        if with_grads:
+            return new_state, logs, grads
         return new_state, logs
 
     return step
@@ -251,6 +244,10 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
             logger.info(f"interval warp unavailable for training ({e})")
     court_img = jax.device_put(court_img)
     court_poi = jax.device_put(court_poi)
+    # step_grads_fn: the with_grads variant used only on validation steps
+    # for TB grad histograms — one backward per step either way (the
+    # reference reads already-computed .grad, train.py:246-250)
+    step_grads_fn = None
     if mesh is not None:
         from ..parallel.mesh import shard_train_step
         # cross-replica BN: per-shard batch stats pmean-reduced over 'data'
@@ -258,14 +255,18 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         step_fn = shard_train_step(
             make_train_step(dp_model, optimizer, loss_cfg, axis_name="data"),
             mesh)
+        if writer is not None:
+            step_grads_fn = shard_train_step(
+                make_train_step(dp_model, optimizer, loss_cfg,
+                                axis_name="data", with_grads=True),
+                mesh, n_outputs=3)
     else:
         step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))
+        if writer is not None:
+            step_grads_fn = jax.jit(
+                make_train_step(model, optimizer, loss_cfg, with_grads=True))
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
-    # gradient-histogram probe (reference logs grad histograms at val
-    # steps, train.py:246-250); compiled lazily on first val step
-    grad_stats_fn = (make_grad_stats_fn(model, loss_cfg)
-                     if writer is not None else None)
 
     try:
         from tqdm import tqdm
@@ -285,16 +286,18 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                 # over the global mesh (parallel/distributed.py)
                 from ..parallel.distributed import host_local_batch_to_global
                 batch = host_local_batch_to_global(batch, mesh)
-            # grads at CURRENT params for TB histograms, computed before the
-            # update like the reference's post-backward pre-step read
-            # (train.py:246-250); only on validation steps
+            # on validation steps run the with_grads step variant so the TB
+            # grad histograms come from the SAME single backward that also
+            # updates the params (reference's post-backward .grad read,
+            # train.py:246-250)
             hist_grads = None
-            if (grad_stats_fn is not None and val_loader is not None
+            if (step_grads_fn is not None and val_loader is not None
                     and (global_step + 1) % val_step_n == 0):
-                hist_grads = grad_stats_fn(state, batch, court_img,
-                                           court_poi, warp_table)
-            state, logs = step_fn(state, batch, court_img, court_poi,
-                                  warp_table)
+                state, logs, hist_grads = step_grads_fn(
+                    state, batch, court_img, court_poi, warp_table)
+            else:
+                state, logs = step_fn(state, batch, court_img, court_poi,
+                                      warp_table)
             global_step += 1
             if state_holder is not None:   # expose for SIGTERM interrupt save
                 state_holder["state"] = state

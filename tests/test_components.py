@@ -385,6 +385,37 @@ class TestParallelVideoDecode:
         last = par[len(par) - 1]
         assert last["name"].endswith(str(len(par) - 1).zfill(6))
 
+    def test_concurrent_duplicate_gets_no_deadlock(self, tmp_path):
+        """Two threads asking for the same not-yet-consumed index: one pops
+        ready[i], the other must be satisfied from the last-replay slot
+        (regression: the replay check used to sit outside the wait loop)."""
+        import threading
+
+        from sports_field_homography_tpu.data.dataset import VideoDataset
+
+        path = tmp_path / "clip.mp4"
+        self._write_video(path, n=12)
+        ds = VideoDataset(str(path), target_size=(32, 18), decode_workers=2,
+                          decode_ahead=8)
+        for i in range(10):
+            ds[i]
+        results, errs = [], []
+
+        def grab():
+            try:
+                results.append(ds[10]["name"])
+            except BaseException as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+
+        threads = [threading.Thread(target=grab) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10.0)
+        assert not errs
+        assert results == ["clip/000010"] * 2
+        ds.close()  # shutdown path: joins workers, releases captures
+
     def test_parallel_through_loader(self, tmp_path):
         from sports_field_homography_tpu.data.dataset import VideoDataset
         from sports_field_homography_tpu.data.loader import Loader

@@ -128,3 +128,20 @@ def test_rgb_and_bin_mask_types(workspace, tmp_path):
         extra=["--mask_save_format", "png", "--mask_type", "bin"])
     b = np.array(Image.open(tmp_path / "bin/court/segm_mask/000000.png"))
     assert set(np.unique(b)).issubset({0, 255})
+
+
+def test_uneven_device_batch_fails_fast(workspace, tmp_path):
+    """batchsize 6 over 8 devices: clear CLI error, not an XLA sharding
+    crash (parallel.mesh.check_batch_divisible)."""
+    argv = [
+        "--img_dir", str(workspace["img_dir"]),
+        "--load", str(workspace["cp"]),
+        "--dst_dir", str(tmp_path),
+        "--req_outputs", "theta",
+        "--batchsize", "6",
+        "--num_devices", "8",
+        "--court_img", "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png",
+        "--court_poi", "/root/repo/assets/template_ncaa_v4_points.json",
+    ]
+    with pytest.raises(SystemExit, match="not divisible by num_devices"):
+        process(argv)
