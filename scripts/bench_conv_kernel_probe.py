@@ -81,6 +81,70 @@ def make_conv_kernel(n, h, w, cin, cout, th, mode, dtype=jnp.bfloat16):
     return run
 
 
+def pack_pair_weights(k):
+    """(3,3,C,Co) -> (9*2C, 2Co) block weights for the width-pair-packed view.
+
+    Packed lanes are (parity, channel).  Output pair-pixel (w2, po) draws
+    from input pairs w2-1..w2+1 (tap t, shifted rows) at parity pi via
+    kx = 2(t-1) + pi + 1 - po when 0 <= kx <= 2, else a structural zero.
+    """
+    _, _, c, co = k.shape
+    wp = np.zeros((3, 3, 2 * c, 2 * co), np.float32)
+    for ky in range(3):
+        for t in range(3):
+            for pi in range(2):
+                for po in range(2):
+                    kx = 2 * (t - 1) + pi + 1 - po
+                    if 0 <= kx <= 2:
+                        wp[ky, t, pi * c:(pi + 1) * c, po * co:(po + 1) * co] \
+                            = np.asarray(k[ky, kx], np.float32)
+    return jnp.asarray(wp.reshape(9 * 2 * c, 2 * co), k.dtype)
+
+
+def make_packed_conv(n, h, w, c, co, th, dtype=jnp.bfloat16):
+    """x packed (N, H, W/2, 2C); w (9*2C, 2Co); out packed (N, H, W/2, 2Co)."""
+    w2 = w // 2
+    cp, cop = 2 * c, 2 * co
+    tiles_h = h // th
+    grid = (n * tiles_h,)
+
+    def kernel(x_ref, w_ref, b_ref, y_ref):
+        xblk = x_ref[0]                          # (Th+2, W2+8, 2C)
+        cols = [xblk[ky:ky + th, t:t + w2, :].reshape(th * w2, cp)
+                for ky in range(3) for t in range(3)]
+        patch = jnp.concatenate(cols, axis=-1)   # (ThW2, 18C) tile-aligned
+        acc = jnp.dot(patch, w_ref[...], preferred_element_type=jnp.float32)
+        acc = acc + b_ref[...]
+        y_ref[...] = acc.reshape(1, th, w2, cop).astype(y_ref.dtype)
+
+    in_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(th + 2), pl.Element(w2 + 8),
+         pl.Element(cp)),
+        lambda i: (i // tiles_h, (i % tiles_h) * th, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, th, w2, cop),
+        lambda i: (i // tiles_h, i % tiles_h, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(xp, wmat, bias):
+        xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 7), (0, 0)))
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[in_spec,
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n, h, w2, cop), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+        )(xpp, wmat, bias)
+
+    return run
+
+
 def xla_conv(x, k, bias):
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
@@ -130,14 +194,23 @@ def main():
     t_xla = timeit(jax.jit(xla_conv), x, k, bias, iters=args.iters)
     print(f"xla      : {t_xla:7.2f} ms  {gflop / t_xla:6.1f} TF/s", flush=True)
 
+    ref = jax.jit(xla_conv)(x, k, bias)
     for mode in args.modes.split(","):
         try:
-            run = make_conv_kernel(n, h, w, cin, cout, th, mode)
-            y = run(x, wmat, bias)
-            ref = jax.jit(xla_conv)(x, k, bias)
+            if mode == "packed":
+                assert cin == cout == 64
+                xp = x.reshape(n, h, w // 2, 2 * cin)
+                wp = pack_pair_weights(k)
+                bp = jnp.tile(bias, 2)
+                run = make_packed_conv(n, h, w, cin, cout, args.th)
+                y = run(xp, wp, bp).reshape(n, h, w, cout)
+                t = timeit(run, xp, wp, bp, iters=args.iters)
+            else:
+                run = make_conv_kernel(n, h, w, cin, cout, th, mode)
+                y = run(x, wmat, bias)
+                t = timeit(run, x, wmat, bias, iters=args.iters)
             err = float(jnp.max(jnp.abs(y.astype(jnp.float32)
                                         - ref.astype(jnp.float32))))
-            t = timeit(run, x, wmat, bias, iters=args.iters)
             print(f"{mode:9s}: {t:7.2f} ms  {gflop / t:6.1f} TF/s  "
                   f"maxerr {err:.4f}", flush=True)
         except Exception as e:

@@ -1,0 +1,106 @@
+"""Fused Pallas DoubleConv vs the plain-XLA reference composition:
+forward outputs, batch stats, and every gradient (interpret mode on CPU).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sports_field_homography_tpu.ops.double_conv import (
+    double_conv_train,
+    supports_double_conv,
+)
+
+EPS = 1e-5
+
+
+def ref_conv(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b
+
+
+def ref_bn_relu(y, gamma, beta):
+    mean = jnp.mean(y, (0, 1, 2))
+    var = jnp.mean(y * y, (0, 1, 2)) - mean * mean
+    z = (y - mean) * jax.lax.rsqrt(var + EPS) * gamma + beta
+    return jnp.maximum(z, 0.0), mean, var
+
+
+def ref_double_conv(x, k1, b1, g1, be1, k2, b2, g2, be2):
+    y1 = ref_conv(x, k1, b1)
+    z1, m1, v1 = ref_bn_relu(y1, g1, be1)
+    y2 = ref_conv(z1, k2, b2)
+    z2, m2, v2 = ref_bn_relu(y2, g2, be2)
+    return z2, m1, v1, m2, v2
+
+
+def make_params(rng, cin, mid, cout):
+    k1 = jnp.asarray(rng.randn(3, 3, cin, mid).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(mid).astype(np.float32) * 0.1)
+    g1 = jnp.asarray(1.0 + 0.2 * rng.randn(mid).astype(np.float32))
+    be1 = jnp.asarray(rng.randn(mid).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.randn(3, 3, mid, cout).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    g2 = jnp.asarray(1.0 + 0.2 * rng.randn(cout).astype(np.float32))
+    be2 = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    return k1, b1, g1, be1, k2, b2, g2, be2
+
+
+@pytest.mark.parametrize("cin", [64, 3])
+def test_forward_and_stats(cin):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 16, cin).astype(np.float32))
+    params = make_params(rng, cin, 64, 64)
+    out, m1, v1, m2, v2 = double_conv_train(x, *params, EPS, True)
+    ref = ref_double_conv(x, *params)
+    for got, want, tag in zip((out, m1, v1, m2, v2), ref,
+                              ("out", "m1", "v1", "m2", "v2")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=tag)
+
+
+@pytest.mark.parametrize("cin", [64, 3])
+def test_gradients(cin):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 16, cin).astype(np.float32))
+    params = make_params(rng, cin, 64, 64)
+    cot = jnp.asarray(rng.randn(2, 8, 16, 64).astype(np.float32))
+
+    def loss_fused(x, *p):
+        out, m1, v1, m2, v2 = double_conv_train(x, *p, EPS, True)
+        # touch the stats so their (detached) cotangents exist
+        return jnp.sum(out * cot) + 0.0 * (jnp.sum(m1) + jnp.sum(v1)
+                                           + jnp.sum(m2) + jnp.sum(v2))
+
+    def loss_ref(x, *p):
+        out = ref_double_conv(x, *p)[0]
+        return jnp.sum(out * cot)
+
+    grads_f = jax.grad(loss_fused, argnums=tuple(range(9)))(x, *params)
+    grads_r = jax.grad(loss_ref, argnums=tuple(range(9)))(x, *params)
+    names = ["dx", "dk1", "db1", "dg1", "dbe1", "dk2", "db2", "dg2", "dbe2"]
+    for got, want, tag in zip(grads_f, grads_r, names):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4,
+            err_msg=tag)
+
+
+def test_mid_channels_differ():
+    """Bilinear-UNet DoubleConvs use mid != out channels."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 16, 64).astype(np.float32))
+    params = make_params(rng, 64, 128, 64)
+    out, *stats = double_conv_train(x, *params, EPS, True)
+    ref = ref_double_conv(x, *params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_supports():
+    assert supports_double_conv((26, 360, 640, 64), jnp.bfloat16)
+    assert supports_double_conv((26, 360, 640, 3), jnp.bfloat16)
+    assert not supports_double_conv((2, 7, 18, 64), jnp.float32)
