@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fused_bn", action="store_true",
                     help="Pallas fused BN+ReLU in the UNet (ops/bn_pallas)")
+    ap.add_argument("--conv_kernel", type=str, default="auto",
+                    choices=("auto", "xla", "pallas"),
+                    help="UNet DoubleConv kernel (ops/double_conv)")
     args = ap.parse_args()
 
     import numpy as np
@@ -39,9 +42,10 @@ def main():
 
     batch = args.batch
     model, court_img, court_poi, cfg = _flagship(batch, dtype=jnp.bfloat16)
-    if args.fused_bn:
+    if args.fused_bn or args.conv_kernel != "auto":
         import dataclasses
-        cfg = dataclasses.replace(cfg, fused_bn=True)
+        cfg = dataclasses.replace(cfg, fused_bn=args.fused_bn,
+                                  conv_kernel=args.conv_kernel)
         model = model.clone(config=cfg)
     w, h = cfg.target_size
 
@@ -99,8 +103,9 @@ def main():
         best = max(best, batch * args.iters / dt)
     ms = batch / best * 1000
     print(f"train_step batch {batch} @{w}x{h}"
-          f"{' fused_bn' if args.fused_bn else ''}: {best:.1f} img/s "
-          f"({ms:.1f} ms/step)")
+          f"{' fused_bn' if args.fused_bn else ''}"
+          f"{' conv_kernel=' + args.conv_kernel if args.conv_kernel != 'auto' else ''}"
+          f": {best:.1f} img/s ({ms:.1f} ms/step)")
 
 
 if __name__ == "__main__":

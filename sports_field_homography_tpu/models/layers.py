@@ -30,8 +30,47 @@ __all__ = [
     "torch_bias_init",
     "kaiming_normal_fanout",
     "BatchNorm",
+    "batch_norm_apply",
+    "Conv3x3Params",
+    "BatchNormParams",
     "max_pool",
 ]
+
+
+class Conv3x3Params(nn.Module):
+    """Param-only twin of ``nn.Conv(features, (3,3), padding=1)``: same
+    variable names/shapes/initializers, no compute.  Lets a parent module
+    (``unet.DoubleConv``) drive either the XLA or the fused Pallas path
+    from one checkpoint-compatible parameter set."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_conv_kernel_init,
+                       (3, 3, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", torch_bias_init(9 * self.in_features),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class BatchNormParams(nn.Module):
+    """Param/variable-only twin of ``BatchNorm`` (same names/shapes/inits)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -95,47 +134,62 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((self.features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,), jnp.float32))
+        return batch_norm_apply(
+            x, scale, bias, ra_mean, ra_var, train=train,
+            fuse_relu=fuse_relu, eps=self.eps, momentum=self.momentum,
+            dtype=self.dtype, axis_name=self.axis_name, folded=self.folded,
+            initializing=self.is_initializing())
 
-        if self.folded and not train:
-            # same f32 accumulate + downcast as the general path below, so
-            # folded outputs are bit-identical to scale=1/mean=0/var=1-eps
-            y = (x.astype(jnp.float32) + bias).astype(self.dtype)
-            return nn.relu(y) if fuse_relu else y
 
-        if (fuse_relu and train and self.axis_name is None
-                and not self.is_initializing()):
-            from ..ops.bn_pallas import bn_relu_train, supports_fused_bn
-            if supports_fused_bn(x.shape, x.dtype):
-                y, mean, var = bn_relu_train(x, scale, bias, self.eps)
-                n = x.shape[0] * x.shape[1] * x.shape[2]
-                m = self.momentum
-                unbiased = var * (n / max(n - 1, 1))
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
-                return y
+def batch_norm_apply(x, scale, bias, ra_mean, ra_var, *, train, fuse_relu,
+                     eps, momentum, dtype, axis_name, folded, initializing):
+    """The full ``BatchNorm`` body as a function of explicit params.
 
-        if train:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
-            n = x.shape[0] * x.shape[1] * x.shape[2]
-            if self.axis_name is not None and not self.is_initializing():
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
-                n = n * jax.lax.psum(1, self.axis_name)
-            var = mean_sq - jnp.square(mean)
-            unbiased = var * (n / max(n - 1, 1))
-            if not self.is_initializing():
-                m = self.momentum
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
-        else:
-            mean, var = ra_mean.value, ra_var.value
-
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
-        y = y.astype(self.dtype)
+    ``ra_mean`` / ``ra_var`` are flax ``Variable`` handles (written in
+    train mode unless ``initializing``).  Shared by the BatchNorm module
+    and by modules that own BN params directly (``unet.DoubleConv``'s
+    fused-kernel path needs param access, so it declares params itself and
+    routes its unfused path through this same single source of truth).
+    """
+    if folded and not train:
+        # same f32 accumulate + downcast as the general path below, so
+        # folded outputs are bit-identical to scale=1/mean=0/var=1-eps
+        y = (x.astype(jnp.float32) + bias).astype(dtype)
         return nn.relu(y) if fuse_relu else y
+
+    if fuse_relu and train and axis_name is None and not initializing:
+        from ..ops.bn_pallas import bn_relu_train, supports_fused_bn
+        if supports_fused_bn(x.shape, x.dtype):
+            y, mean, var = bn_relu_train(x, scale, bias, eps)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            m = momentum
+            unbiased = var * (n / max(n - 1, 1))
+            ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+            ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+            return y
+
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        if axis_name is not None and not initializing:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+            n = n * jax.lax.psum(1, axis_name)
+        var = mean_sq - jnp.square(mean)
+        unbiased = var * (n / max(n - 1, 1))
+        if not initializing:
+            m = momentum
+            ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+            ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+    else:
+        mean, var = ra_mean.value, ra_var.value
+
+    inv = jax.lax.rsqrt(var + eps) * scale
+    y = (x.astype(jnp.float32) - mean) * inv + bias
+    y = y.astype(dtype)
+    return nn.relu(y) if fuse_relu else y
 
 
 def max_pool(x: jnp.ndarray, window: int, stride: int, padding: int = 0) -> jnp.ndarray:

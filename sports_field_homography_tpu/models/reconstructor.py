@@ -88,9 +88,14 @@ class ReconstructorConfig:
     # f32-rounding-level equivalent to the XLA path (reduction order
     # differs), inactive at eval and under sync-BN.
     fused_bn: bool = False
+    # UNet DoubleConv execution: "xla", "pallas" (fused train-mode Pallas
+    # DoubleConv, ops/double_conv — batch on the grid, BN fused into the
+    # convs), or "auto" (measured policy, see _select_pallas_conv).
+    conv_kernel: str = "auto"
 
     def __post_init__(self):
         assert self.warp_kernel in ("auto", "xla", "pallas"), self.warp_kernel
+        assert self.conv_kernel in ("auto", "xla", "pallas"), self.conv_kernel
         assert self.use_unet or self.use_resnet
         mode = Input.parse(self.resnet_input)
         if self.use_resnet:
@@ -106,6 +111,15 @@ class ReconstructorConfig:
         return {Input.IMG: 3, Input.MASK: self.mask_classes,
                 Input.IMG_AND_MASK: self.mask_classes + 3,
                 Input.IMG_AND_MASK_AND_UV: self.mask_classes + 5}[mode]
+
+
+def _select_pallas_conv(kernel: str) -> str:
+    """Static DoubleConv kernel choice.  "auto" currently resolves to the
+    XLA path; flip after the fused train-step measurement lands (the fused
+    path is train-only and shape-gated inside DoubleConv either way)."""
+    if kernel == "pallas":
+        return "pallas"
+    return "xla"
 
 
 def _select_pallas_warp(kernel: str) -> bool:
@@ -141,7 +155,8 @@ class Reconstructor(nn.Module):
             self.unet = UNet(mask_classes=cfg.mask_classes,
                              bilinear=cfg.unet_bilinear, uv=cfg.unet_uv,
                              dtype=self.dtype, axis_name=self.bn_axis_name,
-                             folded=self.bn_folded, fused_bn=cfg.fused_bn)
+                             folded=self.bn_folded, fused_bn=cfg.fused_bn,
+                             conv_kernel=_select_pallas_conv(cfg.conv_kernel))
         if cfg.use_resnet:
             spec = resnet_models[cfg.resnet_name]
             self.resnet_reg = ResNetSTN(dtype=self.dtype,

@@ -24,13 +24,31 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.resize import upsample2x_bilinear
-from .layers import BatchNorm, max_pool, torch_conv_kernel_init, torch_bias_init
+from .layers import (BatchNormParams, Conv3x3Params, batch_norm_apply,
+                     max_pool, torch_conv_kernel_init, torch_bias_init)
 
 __all__ = ["DoubleConv", "Down", "Up", "OutConv", "UNet"]
 
+_BN_EPS = 1e-5
+_BN_MOMENTUM = 0.1
+
 
 class DoubleConv(nn.Module):
-    """(conv3x3 pad1 -> BN -> ReLU) x 2 (reference ``unet/unet_parts.py:7-24``)."""
+    """(conv3x3 pad1 -> BN -> ReLU) x 2 (reference ``unet/unet_parts.py:7-24``).
+
+    Owns its conv/BN parameters directly (``Conv3x3Params`` /
+    ``BatchNormParams`` — checkpoint-identical to the nn.Conv/BatchNorm
+    layout) so the same variables drive either execution path:
+
+      * ``conv_kernel='xla'`` — functional twin of the original
+        nn.Conv + BatchNorm stack (bit-identical math).
+      * ``conv_kernel='pallas'`` — train-mode fused Pallas DoubleConv
+        (``ops.double_conv``): batch on the grid (no 26->32 sublane
+        padding), BN stats fused into the conv epilogue, BN+ReLU fused
+        into the next conv's prologue.  Falls back to the XLA path in
+        eval mode, under sync-BN (``axis_name``), and on unsupported
+        shapes.
+    """
 
     out_channels: int
     mid_channels: Optional[int] = None
@@ -40,25 +58,55 @@ class DoubleConv(nn.Module):
     # route the BN+ReLU pairs through the Pallas fused train kernels
     # (ops/bn_pallas) when shapes allow; f32-rounding-level equivalent
     fused_bn: bool = False
+    conv_kernel: str = "xla"        # xla | pallas
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
         in_ch = x.shape[-1]
+        k1, cb1 = Conv3x3Params(mid, in_ch, name="conv1")()
+        s1, b1, rm1, rv1 = BatchNormParams(mid, name="bn1")()
+        k2, cb2 = Conv3x3Params(self.out_channels, mid, name="conv2")()
+        s2, b2, rm2, rv2 = BatchNormParams(self.out_channels, name="bn2")()
+        dt = self.dtype
+
+        if (self.conv_kernel == "pallas" and train
+                and self.axis_name is None and not self.is_initializing()):
+            from ..ops.double_conv import (double_conv_train,
+                                           supports_double_conv)
+            if supports_double_conv(x.shape, dt, mid, self.out_channels):
+                out, m1, v1, m2, v2 = double_conv_train(
+                    x.astype(dt), k1, cb1, s1, b1, k2, cb2, s2, b2,
+                    _BN_EPS, None)
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unb = n / max(n - 1, 1)
+                mom = _BN_MOMENTUM
+                rm1.value = (1 - mom) * rm1.value + mom * m1
+                rv1.value = (1 - mom) * rv1.value + mom * (v1 * unb)
+                rm2.value = (1 - mom) * rm2.value + mom * m2
+                rv2.value = (1 - mom) * rv2.value + mom * (v2 * unb)
+                return out
+
         fuse = self.fused_bn
-        x = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=torch_conv_kernel_init,
-                    bias_init=torch_bias_init(9 * in_ch), name="conv1")(x)
-        x = BatchNorm(mid, dtype=self.dtype, axis_name=self.axis_name,
-                      folded=self.folded, name="bn1")(x, train, fuse_relu=fuse)
+
+        def conv(h, k, cb):
+            y = jax.lax.conv_general_dilated(
+                h.astype(dt), k.astype(dt), window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + cb.astype(dt)
+
+        def bn(h, scale, bias, rm, rv):
+            return batch_norm_apply(
+                h, scale, bias, rm, rv, train=train, fuse_relu=fuse,
+                eps=_BN_EPS, momentum=_BN_MOMENTUM, dtype=dt,
+                axis_name=self.axis_name, folded=self.folded,
+                initializing=self.is_initializing())
+
+        x = bn(conv(x, k1, cb1), s1, b1, rm1, rv1)
         if not fuse:
             x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=torch_conv_kernel_init,
-                    bias_init=torch_bias_init(9 * mid), name="conv2")(x)
-        x = BatchNorm(self.out_channels, dtype=self.dtype,
-                      axis_name=self.axis_name, folded=self.folded,
-                      name="bn2")(x, train, fuse_relu=fuse)
+        x = bn(conv(x, k2, cb2), s2, b2, rm2, rv2)
         return x if fuse else nn.relu(x)
 
 
@@ -70,13 +118,15 @@ class Down(nn.Module):
     axis_name: Any = None
     folded: bool = False
     fused_bn: bool = False
+    conv_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = max_pool(x, 2, 2)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           axis_name=self.axis_name, folded=self.folded,
-                          fused_bn=self.fused_bn, name="conv")(x, train)
+                          fused_bn=self.fused_bn,
+                          conv_kernel=self.conv_kernel, name="conv")(x, train)
 
 
 class Deconv2x(nn.Module):
@@ -123,6 +173,7 @@ class Up(nn.Module):
     axis_name: Any = None
     folded: bool = False
     fused_bn: bool = False
+    conv_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -145,10 +196,12 @@ class Up(nn.Module):
             return DoubleConv(self.out_channels, mid_channels=x.shape[-1] // 2,
                               dtype=self.dtype, axis_name=self.axis_name,
                               folded=self.folded, fused_bn=self.fused_bn,
+                              conv_kernel=self.conv_kernel,
                               name="conv")(x, train)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           axis_name=self.axis_name, folded=self.folded,
-                          fused_bn=self.fused_bn, name="conv")(x, train)
+                          fused_bn=self.fused_bn,
+                          conv_kernel=self.conv_kernel, name="conv")(x, train)
 
 
 class OutConv(nn.Module):
@@ -179,14 +232,17 @@ class UNet(nn.Module):
     axis_name: Any = None
     folded: bool = False
     fused_bn: bool = False
+    conv_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         factor = 2 if self.bilinear else 1
         x1 = DoubleConv(64, dtype=self.dtype, axis_name=self.axis_name,
-                        folded=self.folded, fused_bn=self.fused_bn, name="inc")(x, train)
+                        folded=self.folded, fused_bn=self.fused_bn,
+                        conv_kernel=self.conv_kernel, name="inc")(x, train)
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
-                      folded=self.folded, fused_bn=self.fused_bn)
+                      folded=self.folded, fused_bn=self.fused_bn,
+                      conv_kernel=self.conv_kernel)
         x2 = Down(128, name="down1", **common)(x1, train)
         x3 = Down(256, name="down2", **common)(x2, train)
         x4 = Down(512, name="down3", **common)(x3, train)

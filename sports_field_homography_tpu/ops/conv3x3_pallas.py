@@ -51,7 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pack_weights", "dgrad_weights", "conv3x3", "wgrad3x3",
-           "supports_conv3x3", "best_th"]
+           "supports_conv3x3", "best_th", "pack_pairs", "unpack_pairs",
+           "pack_pair_weights", "fold_pair_wgrad", "supports_packed"]
 
 _LANES = 128
 # VMEM budget for the dominant per-block buffers (input window double
@@ -74,14 +75,16 @@ def dgrad_weights(kernel: jnp.ndarray) -> jnp.ndarray:
     return pack_weights(kernel[::-1, ::-1].transpose(0, 1, 3, 2))
 
 
-def best_th(h: int, w: int, cin: int, cout: int, itemsize: int = 2) -> int:
+def best_th(h: int, w: int, cin: int, cout: int, itemsize: int = 2,
+            mode: str = "im2col") -> int:
     """Largest Th dividing h whose block buffers fit the VMEM budget."""
     best = 0
+    taps = 9 if mode == "im2col" else 1      # im2col materializes all 9
     for th in range(1, h + 1):
         if h % th:
             continue
         window = 2 * (th + 2) * (w + 8) * cin * itemsize
-        patch = th * w * cin * itemsize          # one dot9 slice
+        patch = taps * th * w * cin * itemsize
         acc = th * w * cout * 4
         outb = 2 * th * w * cout * itemsize
         if window + patch + acc + outb <= _BLOCK_BUDGET:
@@ -98,6 +101,12 @@ def supports_conv3x3(shape: Tuple[int, ...], dtype) -> bool:
     if w % 8 or c % _LANES and c % 64:
         return False
     return best_th(h, w, c, c, jnp.dtype(dtype).itemsize) > 0
+
+
+def wgrad_fits(cin: int, cout: int) -> bool:
+    """The wgrad kernel accumulates a revisited (9*Cin, Cout) f32 block in
+    VMEM; deep UNet levels (C >= 512) blow the budget and stay on XLA."""
+    return 9 * cin * cout * 4 <= _BLOCK_BUDGET
 
 
 def _interp(interpret):
@@ -142,7 +151,7 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
             bias: Optional[jnp.ndarray] = None,
             prologue: Optional[Tuple] = None,
             stats: bool = False, th: Optional[int] = None,
-            mode: str = "dot9", out_dtype=None,
+            mode: str = "im2col", out_dtype=None,
             interpret: Optional[bool] = None):
     """y = conv3x3(relu_bn?(x), W) + b, with optional output stat sums.
 
@@ -160,7 +169,7 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
     cout = wmat.shape[1]
     assert wmat.shape[0] == 9 * cin, (wmat.shape, cin)
     dtype = out_dtype or x.dtype
-    th = th or best_th(h, w, cin, cout, jnp.dtype(x.dtype).itemsize)
+    th = th or best_th(h, w, cin, cout, jnp.dtype(x.dtype).itemsize, mode)
     assert th and h % th == 0, (h, th)
     tiles_h = h // th
 
@@ -260,7 +269,7 @@ def wgrad3x3(x: jnp.ndarray, dy: jnp.ndarray,
     """
     n, h, w, cin = x.shape
     cout = dy.shape[-1]
-    th = th or best_th(h, w, cin, cout, jnp.dtype(x.dtype).itemsize)
+    th = th or best_th(h, w, cin, cout, jnp.dtype(x.dtype).itemsize, "dot9")
     assert th and h % th == 0, (h, th)
     tiles_h = h // th
     have_pro = prologue is not None
@@ -325,3 +334,91 @@ def wgrad3x3(x: jnp.ndarray, dy: jnp.ndarray,
         interpret=_interp(interpret),
     )(*args)
     return dw, db[0]
+
+
+# ---- width-pair lane packing ----------------------------------------------
+#
+# A (N, H, W, 64) activation stores only 64 of the 128 lanes per tile — 2x
+# padded in HBM and half-idle on the VPU/MXU.  Viewing it as
+# (N, H, W/2, 128) (two adjacent width pixels side by side on the lanes,
+# minor-dim order (parity, channel)) removes all of that, and a 3x3 conv on
+# the ORIGINAL array is EXACTLY a 3x3 conv on the packed array with the
+# block weights below (2x structural-zero MXU flops, but at full lane/tile
+# utilization — measured 44 vs 21 TF/s standalone at the level-1 flagship
+# shape, scripts/bench_conv_kernel_probe.py).  So the packed path reuses
+# conv3x3/wgrad3x3 verbatim; only the weight/vector transforms differ.
+
+def supports_packed(shape: Tuple[int, ...], dtype) -> bool:
+    """Can this activation run the width-pair-packed kernels?"""
+    if len(shape) != 4:
+        return False
+    n, h, w, c = shape
+    if c != 64 or w % 16:
+        return False
+    return supports_conv3x3((n, h, w // 2, 2 * c), dtype)
+
+
+def pack_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H, W/2, 2C): row-major reshape = pair packing."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+def unpack_pairs(xp: jnp.ndarray) -> jnp.ndarray:
+    n, h, w2, c2 = xp.shape
+    return xp.reshape(n, h, w2 * 2, c2 // 2)
+
+
+def pack_pair_weights(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (9*2Cin, 2Cout) pair-packed block weights.
+
+    Packed lanes are (parity, channel); output pair-pixel (w2, po) draws
+    from input pairs w2-1..w2+1 (pair tap t) at parity pi via
+    kx = 2(t-1) + pi + 1 - po when 0 <= kx <= 2, else a structural zero.
+    """
+    _, _, cin, cout = k.shape
+    z = jnp.zeros((cin, cout), k.dtype)
+    rows = []
+    for ky in range(3):
+        for t in range(3):
+            po_blocks = []
+            for po in range(2):
+                pi_blocks = []
+                for pi in range(2):
+                    kx = 2 * (t - 1) + pi + 1 - po
+                    pi_blocks.append(k[ky, kx] if 0 <= kx <= 2 else z)
+                po_blocks.append(jnp.concatenate(pi_blocks, axis=0))
+            rows.append(jnp.concatenate(po_blocks, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def dgrad_pair_weights(k: jnp.ndarray) -> jnp.ndarray:
+    """Pair-packed dgrad weights: pack_pair_weights of the flipped/
+    channel-transposed kernel (dgrad IS a conv3x3 — see dgrad_weights)."""
+    return pack_pair_weights(k[::-1, ::-1].transpose(0, 1, 3, 2))
+
+
+def fold_pair_wgrad(dwp: jnp.ndarray, cin: int, cout: int) -> jnp.ndarray:
+    """(9*2Cin, 2Cout) pair-packed weight grads -> (3, 3, Cin, Cout).
+
+    Each true (ky, kx, ci, co) entry was computed twice in packed space —
+    once per output parity po, at (t, pi) with 2t + pi = kx + 1 + po —
+    so the fold sums exactly those two slots.
+    """
+    d = dwp.reshape(3, 3, 2, cin, 2, cout)    # [ky, t, pi, ci, po, co]
+    cols = []
+    for kx in range(3):
+        t0, pi0 = divmod(kx + 1, 2)           # po = 0
+        t1, pi1 = divmod(kx + 2, 2)           # po = 1
+        cols.append(d[:, t0, pi0, :, 0, :] + d[:, t1, pi1, :, 1, :])
+    return jnp.stack(cols, axis=1)            # (3, 3, cin, cout)
+
+
+def tile_pair(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel (C,) vector -> (2C,) matching the (parity, channel) lanes."""
+    return jnp.tile(v, 2)
+
+
+def fold_pair_sums(s: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(k, 2C) per-packed-lane sums -> (k, C) per-channel sums."""
+    return s[:, :c] + s[:, c:]

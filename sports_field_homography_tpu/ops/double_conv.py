@@ -35,20 +35,36 @@ import jax.numpy as jnp
 
 from .conv3x3_pallas import (
     conv3x3,
+    dgrad_pair_weights,
     dgrad_weights,
+    fold_pair_sums,
+    fold_pair_wgrad,
+    pack_pair_weights,
+    pack_pairs,
     pack_weights,
     supports_conv3x3,
+    supports_packed,
+    tile_pair,
+    unpack_pairs,
     wgrad3x3,
+    wgrad_fits,
 )
 
 __all__ = ["double_conv_train", "supports_double_conv"]
 
 
-def supports_double_conv(shape, dtype) -> bool:
-    """x (N,H,W,Cin): mid/out channel kernels must be supported; the stem
-    (unsupported Cin) falls back to XLA for conv1 only."""
-    n, h, w, _ = shape
-    return supports_conv3x3((n, h, w, 64), dtype)
+def supports_double_conv(shape, dtype, mid: int = 64,
+                         out: int = 64) -> bool:
+    """x (N,H,W,Cin): the mid/out-channel convs (and their dgrads, which
+    swap channel roles) must be kernel-supported, and the wgrad VMEM
+    accumulators must fit (deep >=512-channel levels stay on XLA); an
+    unsupported Cin (the 3-channel stem) falls back to XLA for conv1 only.
+    """
+    n, h, w, cin = shape
+    wg_cin = cin if supports_conv3x3(shape, dtype) else mid
+    return (supports_conv3x3((n, h, w, mid), dtype)
+            and supports_conv3x3((n, h, w, out), dtype)
+            and wgrad_fits(mid, out) and wgrad_fits(wg_cin, mid))
 
 
 def _xla_conv_stats(x, k, b):
@@ -71,19 +87,31 @@ def _finalize_stats(sums, m, eps):
     return mean, var, rstd
 
 
-def _bn_relu_bwd(y, g, mean, rstd, gamma, beta, m):
+def _bn_relu_bwd(y, g, mean, rstd, gamma, beta, m, packed=False):
     """Backward of relu(bn_train(y)) given output cotangent g.
 
     Returns (dy, dgamma, dbeta).  XLA elementwise + reductions — all on
-    row-major buffers (no conv ops, so no layout coercion).
+    row-major buffers (no conv ops, so no layout coercion).  ``packed``:
+    y/g are width-pair packed (2C lanes); the per-channel vectors are
+    tiled in and the stat grads folded back out.
     """
+    c = mean.shape[0]
+    if packed:
+        mean, rstd, gamma, beta = map(tile_pair, (mean, rstd, gamma, beta))
     yf = y.astype(jnp.float32)
     xhat = (yf - mean) * rstd
     pre = xhat * gamma + beta
     dyp = jnp.where(pre > 0, g.astype(jnp.float32), 0.0)
-    dbeta = jnp.sum(dyp, (0, 1, 2))
-    dgamma = jnp.sum(dyp * xhat, (0, 1, 2))
-    dy = (gamma * rstd) * (dyp - dbeta / m - xhat * (dgamma / m))
+    dbeta_l = jnp.sum(dyp, (0, 1, 2))
+    dgamma_l = jnp.sum(dyp * xhat, (0, 1, 2))
+    if packed:
+        dbeta = fold_pair_sums(dbeta_l[None], c)[0]
+        dgamma = fold_pair_sums(dgamma_l[None], c)[0]
+        mb, mg = tile_pair(dbeta / m), tile_pair(dgamma / m)
+    else:
+        dbeta, dgamma = dbeta_l, dgamma_l
+        mb, mg = dbeta / m, dgamma / m
+    dy = (gamma * rstd) * (dyp - mb - xhat * mg)
     return dy.astype(y.dtype), dgamma, dbeta
 
 
@@ -105,72 +133,138 @@ def double_conv_train(x, k1, b1, g1, be1, k2, b2, g2, be2,
     return (out,) + tuple(_rest[:4])
 
 
+def _use_packed(x, k1, k2):
+    """The interior runs width-pair packed when both BN'd channel counts
+    are 64 (the level-1 case XLA pads 2x on the lanes)."""
+    n, h, w, _ = x.shape
+    return (k1.shape[-1] == 64 and k2.shape[-1] == 64
+            and supports_packed((n, h, w, 64), x.dtype))
+
+
 def _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret):
     n, h, w, cin = x.shape
     m = n * h * w
+    mid, cout = k1.shape[-1], k2.shape[-1]
     dt = x.dtype
-    if supports_conv3x3(x.shape, dt):
+    packed = _use_packed(x, k1, k2)
+    if packed and cin == 64:
+        xk = pack_pairs(x)
+        y1, s1 = conv3x3(xk, pack_pair_weights(k1).astype(dt),
+                         tile_pair(b1), stats=True, interpret=interpret)
+        s1 = fold_pair_sums(s1, mid)
+    elif supports_conv3x3(x.shape, dt):
+        xk = x
         y1, s1 = conv3x3(x, pack_weights(k1).astype(dt), b1,
                          stats=True, interpret=interpret)
+        if packed:
+            y1 = pack_pairs(y1)
     else:  # 3-channel stem
+        xk = x
         y1, s1 = _xla_conv_stats(x, k1, b1)
+        if packed:
+            y1 = pack_pairs(y1)
     mean1, var1, rstd1 = _finalize_stats(s1, m, eps)
     inv1 = rstd1 * g1
-    y2, s2 = conv3x3(y1, pack_weights(k2).astype(dt), b2,
-                     prologue=(mean1, inv1, be1), stats=True,
-                     interpret=interpret)
+    if packed:
+        y2, s2 = conv3x3(y1, pack_pair_weights(k2).astype(dt),
+                         tile_pair(b2),
+                         prologue=(tile_pair(mean1), tile_pair(inv1),
+                                   tile_pair(be1)),
+                         stats=True, interpret=interpret)
+        s2 = fold_pair_sums(s2, cout)
+    else:
+        y2, s2 = conv3x3(y1, pack_weights(k2).astype(dt), b2,
+                         prologue=(mean1, inv1, be1), stats=True,
+                         interpret=interpret)
     mean2, var2, rstd2 = _finalize_stats(s2, m, eps)
     y2f = y2.astype(jnp.float32)
-    out = jnp.maximum((y2f - mean2) * (rstd2 * g2) + be2, 0.0).astype(dt)
-    return out, mean1, var1, mean2, var2, y1, y2, rstd1, rstd2
+    inv2 = rstd2 * g2
+    if packed:
+        out = jnp.maximum((y2f - tile_pair(mean2)) * tile_pair(inv2)
+                          + tile_pair(be2), 0.0).astype(dt)
+        out = unpack_pairs(out)
+    else:
+        out = jnp.maximum((y2f - mean2) * inv2 + be2, 0.0).astype(dt)
+    # y1/y2 residuals stay in the packed layout when packed; xk is the
+    # conv1-input view (packed iff cin == 64 and packed)
+    return out, mean1, var1, mean2, var2, xk, y1, y2, rstd1, rstd2
 
 
 def _fwd_vjp(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret):
-    (out, mean1, var1, mean2, var2, y1, y2,
+    (out, mean1, var1, mean2, var2, xk, y1, y2,
      rstd1, rstd2) = _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2,
                                eps, interpret)
-    res = (x, y1, y2, mean1, rstd1, mean2, rstd2, k1, g1, be1, k2, g2, be2)
+    res = (xk, y1, y2, mean1, rstd1, mean2, rstd2,
+           k1, g1, be1, k2, g2, be2)
     return (out, mean1, var1, mean2, var2), res
 
 
 def _bwd_vjp(eps, interpret, res, cots):
     g, _dm1, _dv1, _dm2, _dv2 = cots      # stat cotangents detached
-    x, y1, y2, mean1, rstd1, mean2, rstd2, k1, g1, be1, k2, g2, be2 = res
-    n, h, w, _ = x.shape
+    (xk, y1, y2, mean1, rstd1, mean2, rstd2,
+     k1, g1, be1, k2, g2, be2) = res
+    cin = k1.shape[2]
+    n, h = xk.shape[0], xk.shape[1]
+    packed_x = xk.shape[-1] == 2 * cin    # xk is the pair-packed view
+    w = xk.shape[2] * 2 if packed_x else xk.shape[2]
+    x_shape = (n, h, w, cin)
     m = n * h * w
-    dt = x.dtype
+    mid, cout = k1.shape[-1], k2.shape[-1]
+    dt = xk.dtype
+    packed = y1.shape[-1] == 2 * mid      # residuals carry the layout
 
     # BN2 + ReLU backward (out = relu(bn2(y2)))
-    dy2, dgamma2, dbeta2 = _bn_relu_bwd(y2, g, mean2, rstd2, g2, be2, m)
+    gk = pack_pairs(g) if packed else g
+    dy2, dgamma2, dbeta2 = _bn_relu_bwd(y2, gk, mean2, rstd2, g2, be2, m,
+                                        packed=packed)
 
     # conv2 backward: z1 = relu(bn1(y1)) recomputed in the wgrad prologue
     inv1 = rstd1 * g1
-    dw2, db2 = wgrad3x3(y1, dy2, prologue=(mean1, inv1, be1),
-                        interpret=interpret)
-    dk2 = dw2.reshape(k2.shape)
-    dz1 = conv3x3(dy2, dgrad_weights(k2).astype(dt), interpret=interpret)
+    pro1 = ((tile_pair(mean1), tile_pair(inv1), tile_pair(be1)) if packed
+            else (mean1, inv1, be1))
+    dw2, db2 = wgrad3x3(y1, dy2, prologue=pro1, interpret=interpret)
+    if packed:
+        dk2 = fold_pair_wgrad(dw2, mid, cout)
+        db2 = fold_pair_sums(db2[None], cout)[0]
+        dz1 = conv3x3(dy2, dgrad_pair_weights(k2).astype(dt),
+                      interpret=interpret)
+    else:
+        dk2 = dw2.reshape(k2.shape)
+        dz1 = conv3x3(dy2, dgrad_weights(k2).astype(dt),
+                      interpret=interpret)
 
     # BN1 + ReLU backward (z1 = relu(bn1(y1)))
-    dy1, dgamma1, dbeta1 = _bn_relu_bwd(y1, dz1, mean1, rstd1, g1, be1, m)
+    dy1, dgamma1, dbeta1 = _bn_relu_bwd(y1, dz1, mean1, rstd1, g1, be1, m,
+                                        packed=packed)
 
     # conv1 backward
-    if supports_conv3x3(x.shape, dt):
-        dw1, db1 = wgrad3x3(x, dy1, interpret=interpret)
-        dk1 = dw1.reshape(k1.shape)
-        dx = conv3x3(dy1, dgrad_weights(k1).astype(dt), interpret=interpret)
-    else:  # stem: XLA conv vjp for conv1 only
-        def f(xx, kk, bb):
-            y = jax.lax.conv_general_dilated(
-                xx, kk.astype(xx.dtype), window_strides=(1, 1),
-                padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
-            return (y + bb).astype(xx.dtype)
+    if packed and packed_x:               # xk is the packed input view
+        dw1, db1 = wgrad3x3(xk, dy1, interpret=interpret)
+        dk1 = fold_pair_wgrad(dw1, cin, mid)
+        db1 = fold_pair_sums(db1[None], mid)[0]
+        dx = unpack_pairs(conv3x3(dy1, dgrad_pair_weights(k1).astype(dt),
+                                  interpret=interpret))
+    else:
+        dy1u = unpack_pairs(dy1) if packed else dy1
+        if supports_conv3x3(x_shape, dt):
+            dw1, db1 = wgrad3x3(xk, dy1u, interpret=interpret)
+            dk1 = dw1.reshape(k1.shape)
+            dx = conv3x3(dy1u, dgrad_weights(k1).astype(dt),
+                         interpret=interpret)
+        else:  # stem: XLA conv vjp for conv1 only
+            def f(xx, kk):
+                # no preferred_element_type: its transpose rule rejects the
+                # mixed bf16/f32 cotangent; TPU bf16 convs accumulate f32
+                # internally regardless
+                return jax.lax.conv_general_dilated(
+                    xx, kk.astype(xx.dtype), window_strides=(1, 1),
+                    padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-        _, vjp = jax.vjp(f, x, k1, jnp.zeros_like(db2, shape=k1.shape[-1:]))
-        dx, dk1, db1 = vjp(dy1)
-        dk1 = dk1.astype(jnp.float32)
-        db1 = jnp.sum(dy1.astype(jnp.float32), (0, 1, 2))
+            _, vjp = jax.vjp(f, xk, k1)
+            dx, dk1 = vjp(dy1u)
+            dk1 = dk1.astype(jnp.float32)
+            db1 = jnp.sum(dy1u.astype(jnp.float32), (0, 1, 2))
 
     return (dx, dk1, db1, dgamma1, dbeta1, dk2, db2, dgamma2, dbeta2)
 

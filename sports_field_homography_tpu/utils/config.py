@@ -116,6 +116,13 @@ def make_base_parser() -> argparse.ArgumentParser:
                              "outputs (auto=xla per the measurements in "
                              "BASELINE.md; pallas is the guaranteed-fusion "
                              "fallback)")
+    parser.add_argument("--conv_kernel", type=str, default="auto",
+                        choices=("auto", "xla", "pallas"),
+                        help="UNet DoubleConv kernel: pallas = fused "
+                             "train-mode Pallas DoubleConv "
+                             "(ops/double_conv; batch on the grid, BN "
+                             "fused into the convs), auto per the "
+                             "measured policy in BASELINE.md")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Data-parallel devices (default: all visible)")
     # multi-host (DCN) runtime; see parallel/distributed.py.  With only

@@ -104,3 +104,60 @@ def test_supports():
     assert supports_double_conv((26, 360, 640, 64), jnp.bfloat16)
     assert supports_double_conv((26, 360, 640, 3), jnp.bfloat16)
     assert not supports_double_conv((2, 7, 18, 64), jnp.float32)
+
+
+class TestUNetIntegration:
+    """conv_kernel='pallas' must match the XLA path through the real UNet
+    module (params, batch-stat updates, loss gradients)."""
+
+    def _setup(self, cin=3):
+        from sports_field_homography_tpu.models.unet import DoubleConv
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(2, 8, 16, cin).astype(np.float32))
+        mod_x = DoubleConv(64, conv_kernel="xla")
+        variables = mod_x.init(jax.random.PRNGKey(0), x, True)
+        mod_p = DoubleConv(64, conv_kernel="pallas")
+        return x, variables, mod_x, mod_p
+
+    @pytest.mark.parametrize("cin", [64, 3])
+    def test_apply_and_stats_match(self, cin):
+        x, variables, mod_x, mod_p = self._setup(cin)
+        yx, mx = mod_x.apply(variables, x, True, mutable=["batch_stats"])
+        yp, mp = mod_p.apply(variables, x, True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yx),
+                                   rtol=2e-4, atol=2e-4)
+        for k in ("bn1", "bn2"):
+            for stat in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(mp["batch_stats"][k][stat]),
+                    np.asarray(mx["batch_stats"][k][stat]),
+                    rtol=2e-4, atol=2e-4, err_msg=f"{k}/{stat}")
+
+    def test_grads_match(self):
+        x, variables, mod_x, mod_p = self._setup(64)
+        cot = jnp.asarray(np.random.RandomState(6)
+                          .randn(2, 8, 16, 64).astype(np.float32))
+
+        def loss(mod, params):
+            out, _ = mod.apply({"params": params,
+                                "batch_stats": variables["batch_stats"]},
+                               x, True, mutable=["batch_stats"])
+            return jnp.sum(out * cot)
+
+        gx = jax.grad(lambda p: loss(mod_x, p))(variables["params"])
+        gp = jax.grad(lambda p: loss(mod_p, p))(variables["params"])
+        flat_x = jax.tree_util.tree_leaves_with_path(gx)
+        flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+        # same param tree in both modes (checkpoint compatibility)
+        assert set(flat_p) == {p for p, _ in flat_x}
+        for path, vx in flat_x:
+            np.testing.assert_allclose(
+                np.asarray(flat_p[path]), np.asarray(vx),
+                rtol=5e-4, atol=5e-4, err_msg=str(path))
+
+    def test_eval_falls_back_to_xla(self):
+        x, variables, mod_x, mod_p = self._setup(64)
+        ye = mod_p.apply(variables, x, False)
+        yx = mod_x.apply(variables, x, False)
+        np.testing.assert_array_equal(np.asarray(ye), np.asarray(yx))
