@@ -30,6 +30,11 @@ def main():
 
     batch = 32
     model, court_img, court_poi, cfg = _flagship(batch, dtype=jnp.bfloat16)
+    if "--conv_kernel" in sys.argv:
+        import dataclasses
+        ck = sys.argv[sys.argv.index("--conv_kernel") + 1]
+        cfg = dataclasses.replace(cfg, conv_kernel=ck)
+        model = model.clone(config=cfg)
     w, h = cfg.target_size
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (batch, h, w, 3), jnp.float32)

@@ -70,11 +70,21 @@ class DoubleConv(nn.Module):
         s2, b2, rm2, rv2 = BatchNormParams(self.out_channels, name="bn2")()
         dt = self.dtype
 
-        if (self.conv_kernel == "pallas" and train
-                and self.axis_name is None and not self.is_initializing()):
-            from ..ops.double_conv import (double_conv_train,
-                                           supports_double_conv)
-            if supports_double_conv(x.shape, dt, mid, self.out_channels):
+        if self.conv_kernel == "pallas" and not self.is_initializing():
+            from ..ops.double_conv import (double_conv_eval,
+                                           double_conv_train,
+                                           supports_double_conv,
+                                           supports_double_conv_eval)
+            # folded variables degenerate to the same affine exactly
+            # (scale=1, mean=0, var+eps=1), so eval fusion covers both
+            if (not train and supports_double_conv_eval(
+                    x.shape, dt, mid, self.out_channels)):
+                return double_conv_eval(
+                    x.astype(dt), k1, cb1, s1, b1, rm1.value, rv1.value,
+                    k2, cb2, s2, b2, rm2.value, rv2.value, _BN_EPS)
+            if (train and self.axis_name is None
+                    and supports_double_conv(x.shape, dt, mid,
+                                             self.out_channels)):
                 out, m1, v1, m2, v2 = double_conv_train(
                     x.astype(dt), k1, cb1, s1, b1, k2, cb2, s2, b2,
                     _BN_EPS, None)

@@ -50,7 +50,8 @@ from .conv3x3_pallas import (
     wgrad_fits,
 )
 
-__all__ = ["double_conv_train", "supports_double_conv"]
+__all__ = ["double_conv_train", "double_conv_eval", "supports_double_conv",
+           "supports_double_conv_eval"]
 
 
 def supports_double_conv(shape, dtype, mid: int = 64,
@@ -270,3 +271,56 @@ def _bwd_vjp(eps, interpret, res, cots):
 
 
 double_conv_train.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+def supports_double_conv_eval(shape, dtype, mid: int = 64,
+                              out: int = 64) -> bool:
+    """Eval needs no wgrad, so only the conv kernels must be supported."""
+    n, h, w, cin = shape
+    return (supports_conv3x3((n, h, w, mid), dtype)
+            and supports_conv3x3((n, h, w, out), dtype))
+
+
+def double_conv_eval(x, k1, b1, g1, be1, rm1, rv1, k2, b2, g2, be2,
+                     rm2, rv2, eps: float = 1e-5,
+                     interpret: Optional[bool] = None):
+    """Inference DoubleConv: (conv3x3 -> eval-BN(running stats) -> ReLU) x 2.
+
+    Same kernels as the train path minus the stat sums and the VJP; BN1 +
+    ReLU ride conv2's prologue, BN2 + ReLU are one XLA elementwise pass.
+    Works on folded variables too (scale=1 / mean=0 / var=1-eps degenerate
+    to the same affine).
+    """
+    n, h, w, cin = x.shape
+    mid, cout = k1.shape[-1], k2.shape[-1]
+    dt = x.dtype
+    packed = _use_packed(x, k1, k2)
+    inv1 = g1 * jax.lax.rsqrt(rv1 + eps)
+    inv2 = g2 * jax.lax.rsqrt(rv2 + eps)
+    if packed and cin == 64:
+        y1 = conv3x3(pack_pairs(x), pack_pair_weights(k1).astype(dt),
+                     tile_pair(b1), interpret=interpret)
+    elif supports_conv3x3(x.shape, dt):
+        y1 = conv3x3(x, pack_weights(k1).astype(dt), b1,
+                     interpret=interpret)
+        if packed:
+            y1 = pack_pairs(y1)
+    else:  # 3-channel stem
+        y1 = jax.lax.conv_general_dilated(
+            x, k1.astype(dt), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1.astype(dt)
+        if packed:
+            y1 = pack_pairs(y1)
+    if packed:
+        y2 = conv3x3(y1, pack_pair_weights(k2).astype(dt), tile_pair(b2),
+                     prologue=(tile_pair(rm1), tile_pair(inv1),
+                               tile_pair(be1)),
+                     interpret=interpret)
+        out = jnp.maximum((y2.astype(jnp.float32) - tile_pair(rm2))
+                          * tile_pair(inv2) + tile_pair(be2), 0.0)
+        return unpack_pairs(out.astype(dt))
+    y2 = conv3x3(y1, pack_weights(k2).astype(dt), b2,
+                 prologue=(rm1, inv1, be1), interpret=interpret)
+    out = jnp.maximum((y2.astype(jnp.float32) - rm2) * inv2 + be2, 0.0)
+    return out.astype(dt)

@@ -156,8 +156,23 @@ class TestUNetIntegration:
                 np.asarray(flat_p[path]), np.asarray(vx),
                 rtol=5e-4, atol=5e-4, err_msg=str(path))
 
-    def test_eval_falls_back_to_xla(self):
+    def test_eval_fused_init_stats(self):
         x, variables, mod_x, mod_p = self._setup(64)
         ye = mod_p.apply(variables, x, False)
         yx = mod_x.apply(variables, x, False)
-        np.testing.assert_array_equal(np.asarray(ye), np.asarray(yx))
+        np.testing.assert_allclose(np.asarray(ye), np.asarray(yx),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_eval_fused_matches_xla(self):
+        """Eval fusion (running stats incl. nontrivial values) == XLA path."""
+        x, variables, mod_x, mod_p = self._setup(64)
+        rng = np.random.RandomState(9)
+        bs = jax.tree.map(lambda v: v, variables["batch_stats"])
+        bs = {k: {"mean": jnp.asarray(rng.randn(64).astype(np.float32) * .3),
+                  "var": jnp.asarray(1 + rng.rand(64).astype(np.float32))}
+              for k in bs}
+        vv = {"params": variables["params"], "batch_stats": bs}
+        ye = mod_p.apply(vv, x, False)
+        yx = mod_x.apply(vv, x, False)
+        np.testing.assert_allclose(np.asarray(ye), np.asarray(yx),
+                                   rtol=2e-4, atol=2e-4)
