@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""BASELINE config #2 bench: full-output predict at 1280x720 mask size.
+
+Model at 640x360 (UNET-resnet34-deconv), warp/court at 1280x720,
+req_outputs = segm_mask, warp_mask, theta, poi, consistency — the
+reference's full-output operating point (`/root/reference/predict.py:150-155`,
+out_size 1280x720 defaults in utils/config.py:44-51).
+
+Measures the jitted device program (the predict CLI's exact jit body via
+cli.engine.jit_predict_fn, incl. uint8 input normalization, device-side
+argmax, uint8 narrowing), with the consistency labels shared from the
+full-res warp (--no_share disables, for the before/after).
+
+Usage: python scripts/bench_predict_full.py [--batch 8] [--iters 10]
+       [--no_share] [--conv_kernel pallas]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--no_share", action="store_true",
+                    help="run the consistency labels on the separate "
+                         "subsampled-grid warp instead of sharing the "
+                         "kept full-res warp")
+    ap.add_argument("--conv_kernel", type=str, default="auto")
+    ap.add_argument("--profile", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sports_field_homography_tpu.cli.engine import (ModelBundle,
+                                                        jit_predict_fn)
+    from sports_field_homography_tpu.data.assets import (open_court_poi,
+                                                         open_court_template)
+    from sports_field_homography_tpu.models import (Reconstructor,
+                                                    ReconstructorConfig)
+
+    batch = args.batch
+    target, warp = (640, 360), (1280, 720)
+    cfg = ReconstructorConfig(
+        target_size=target, unet_size=target, warp_size=warp,
+        resnet_name="resnet34", resnet_input="img+mask",
+        warp_with_nearest=True, conv_kernel=args.conv_kernel)
+    model = Reconstructor(cfg, dtype=jnp.bfloat16)
+    ci = open_court_template("/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png",
+                             num_classes=4, size=warp, batch_size=batch)
+    cp = open_court_poi("/root/repo/assets/template_ncaa_v4_points.json",
+                        batch)
+    x1 = jnp.zeros((1, target[1], target[0], 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), x1, jnp.asarray(ci[:1]), jnp.asarray(cp[:1]),
+        train=False))()
+    from sports_field_homography_tpu.ops.fold_bn import fold_batchnorm
+    variables = jax.device_put(fold_batchnorm(jax.device_get(variables)))
+    model = model.clone(bn_folded=True)
+    bundle = ModelBundle(model, variables, ci, cp, cfg)
+
+    keep = ("theta", "warp_mask", "consist_score", "poi", "segm_mask")
+    fn = jit_predict_fn(bundle, consistency=True, project_poi=True,
+                        keep=keep)
+    if args.no_share:
+        # rebuild with the share heuristic defeated: drop warp_mask from
+        # keep at trace time, then re-request it via a second program?  No —
+        # simplest honest A/B: patch the model call to not share.
+        from sports_field_homography_tpu.cli import engine as _eng
+        fn = _make_noshare_fn(bundle, keep)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 255, size=(batch, target[1], target[0], 3),
+                                dtype=np.uint8))
+    out = fn(bundle.variables, x)
+    jax.block_until_ready(out)
+
+    if args.profile:
+        from sports_field_homography_tpu.utils.profiling import trace
+        with trace("/tmp/sfh_full_profile"):
+            jax.block_until_ready(fn(bundle.variables, x))
+        print("trace written to /tmp/sfh_full_profile", file=sys.stderr)
+
+    best = 0.0
+    for _ in range(2):
+        float(jnp.sum(out["theta"]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(bundle.variables, x)
+        float(jnp.sum(out["theta"]))
+        dt = time.perf_counter() - t0
+        best = max(best, batch * args.iters / dt)
+    ms = batch / best * 1000
+    tag = "no_share" if args.no_share else "share"
+    print(f"predict_full 640x360->1280x720 batch {batch} [{tag}"
+          f"{' conv_kernel=' + args.conv_kernel if args.conv_kernel != 'auto' else ''}]"
+          f": {best:.1f} fps ({ms:.1f} ms/batch)")
+
+
+def _make_noshare_fn(bundle, keep):
+    import jax
+    import jax.numpy as jnp
+
+    from sports_field_homography_tpu.ops.interval_warp import (
+        build_interval_table)
+
+    model = bundle.model
+    court_img = jax.device_put(bundle.court_img)
+    court_poi = jax.device_put(bundle.court_poi)
+    warp_table = jax.device_put(build_interval_table(bundle.court_img))
+
+    @jax.jit
+    def _fn(variables, x, ci, cp, wt):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        preds = model.apply(variables, x, ci, cp, consistency=True,
+                            project_poi=True, warp_table=wt,
+                            score_from_warp_mask=False,
+                            method=model.predict)
+        preds["segm_mask"] = jnp.argmax(preds["logits"],
+                                        axis=-1).astype(jnp.uint8)
+        preds["warp_mask"] = preds["warp_mask"].astype(jnp.uint8)
+        return {k: v for k, v in preds.items() if k in keep}
+
+    return lambda v, x: _fn(v, x, court_img, court_poi, warp_table)
+
+
+if __name__ == "__main__":
+    main()

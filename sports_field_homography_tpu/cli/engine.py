@@ -168,9 +168,15 @@ def jit_predict_fn(bundle: ModelBundle, consistency: bool, project_poi: bool,
         if x.dtype == jnp.uint8:       # device-side normalization (u8/255)
             # true division: x*(1/255) differs in the last ulp
             x = x.astype(jnp.float32) / 255.0
+        # when warp_mask is kept it cannot be DCE'd, so share its full-res
+        # warp with the consistency labels (bit-equal; see predict)
+        share_warp = (consistency and keep is not None
+                      and "warp_mask" in keep)
         preds = model.apply(variables, x, ci, cp,
                             consistency=consistency, project_poi=project_poi,
-                            warp_table=wt, method=model.predict)
+                            warp_table=wt,
+                            score_from_warp_mask=share_warp,
+                            method=model.predict)
         # device-side compaction: argmax the logits into a uint8 label mask
         # and narrow the warp labels to uint8 — an 8x/4x cut in D2H bytes
         # (the reference does the argmax in its transfer worker,

@@ -250,12 +250,19 @@ class Reconstructor(nn.Module):
 
     def predict(self, x: jnp.ndarray, court_img: jnp.ndarray,
                 court_poi: jnp.ndarray, consistency: bool = True,
-                project_poi: bool = False, warp_table=None) -> dict:
+                project_poi: bool = False, warp_table=None,
+                score_from_warp_mask: bool = False) -> dict:
         """Inference forward (reference ``predict``, :196-246).
 
         ``warp_mask`` is returned as int32 class labels (template values *
         mask_classes) and ``consist_score`` is the per-sample mean per-pixel
         cross entropy between UNet logits and the warped labels.
+
+        ``score_from_warp_mask``: when the caller KEEPS the full-res
+        ``warp_mask`` (so it cannot be dead-code-eliminated anyway), derive
+        the consistency labels from it by nearest resize — bit-equal to the
+        fused subsampled-grid warp, but sharing the one full-res warp
+        instead of running a second warp at the logits grid.
         """
         cfg = self.config
         ret = {}
@@ -272,6 +279,10 @@ class Reconstructor(nn.Module):
                                       warp_table=warp_table) * cfg.mask_classes
                 if consistency and cfg.use_unet:
                     if (logits.shape[1:3] != warp_mask.shape[1:3]
+                            and score_from_warp_mask):
+                        wm = resize_nearest(warp_mask[..., None],
+                                            logits.shape[1:3])[..., 0]
+                    elif (logits.shape[1:3] != warp_mask.shape[1:3]
                             and warp_table is not None):
                         # fuse the nearest downsample into the warp grid:
                         # bit-equal to resize_nearest(warp_mask), and it
