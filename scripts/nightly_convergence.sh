@@ -1,0 +1,80 @@
+#!/bin/bash
+# Nightly convergence job: synthetic overfit run, one re-runnable command.
+#
+# Generates a 1024-sample synthetic dataset (known homographies), trains
+# the flagship model for $EPOCHS epochs at the known-good operating point
+# (batch 24 @320x180, RMSprop, CE+MSE+RRMSE — see BASELINE.md "Training
+# convergence, extended run": 18 px at epoch 1 -> 1.74 px at epoch 30),
+# sweeps the final checkpoint with test.py and FAILS (exit 1) unless the
+# full-set reprojection error is below $MAX_PX.
+#
+# Usage: scripts/nightly_convergence.sh [workdir] [epochs] [max_px]
+#   quick smoke:   scripts/nightly_convergence.sh /tmp/sfh_nightly 2 25
+#   full nightly:  scripts/nightly_convergence.sh /tmp/sfh_nightly 30 4
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+DST=${1:-/tmp/sfh_nightly}
+EPOCHS=${2:-30}
+MAX_PX=${3:-4}
+
+rm -rf "$DST"
+mkdir -p "$DST"
+
+python scripts/make_synthetic_dataset.py --dst "$DST/data" --n 1024 \
+    --size 320 180
+
+cat > "$DST/conf.yaml" <<EOF
+img_dir: $DST/data/frames
+mask_dir: $DST/data/masks
+anno_dir: $DST/data/anno
+anno_keys: ['poi']
+val_names: ['val_game']
+court_img: assets/mask_ncaa_v4_nc4_m_onehot.png
+court_poi: assets/template_ncaa_v4_points.json
+target_size: [320, 180]
+unet_size: [320, 180]
+warp_size: [320, 180]
+court_size: [320, 180]
+mask_classes: 4
+use_unet: true
+unet_bilinear: false
+use_resnet: true
+resnet_name: 'resnet34'
+resnet_input: 'img+mask'
+opt: 'RMSprop'
+lr: 0.0001
+weight_decay: 0.00000001
+epochs: $EPOCHS
+batchsize: 24
+seg_loss: 'CE'
+rec_loss: 'MSE'
+reproj_loss: 'RRMSE'
+cp_dir: $DST/ckpt/
+log_dir: $DST/logs
+EOF
+
+python train.py -c "$DST/conf.yaml" --async_ckpt
+
+# dataset dirs + batch are conf-overlay ignore_keys, so pass explicitly;
+# sizes/model come from the conf.yaml sidecar the train CLI wrote
+python test.py --cp_dir "$DST/ckpt" --test_epochs "$EPOCHS" \
+    --img_dir "$DST/data/frames" --mask_dir "$DST/data/masks" \
+    --anno_dir "$DST/data/anno" --batchsize 24 \
+    --court_img assets/mask_ncaa_v4_nc4_m_onehot.png \
+    --court_poi assets/template_ncaa_v4_points.json
+
+python - "$DST/ckpt/test_scores.txt" "$MAX_PX" <<'PYEOF'
+import re
+import sys
+
+path, max_px = sys.argv[1], float(sys.argv[2])
+text = open(path).read()
+px = [float(m) for m in re.findall(r"Reprojection px:\s+([0-9.]+)", text)]
+assert px, f"no reprojection scores found in {path}"
+best = min(px)
+print(f"nightly convergence: best full-set reprojection {best:.2f} px "
+      f"(threshold {max_px})")
+sys.exit(0 if best <= max_px else 1)
+PYEOF
+echo "NIGHTLY CONVERGENCE: PASS"

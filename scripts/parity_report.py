@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Production-scale parity report: this framework vs the PyTorch reference.
+
+Runs BOTH models on identical inputs at the production operating point
+(UNET-resnet34-deconv, 640x360, theta + consistency + PoI — reference
+``predict.py:57-77`` / ``conf/*.example``) and emits a per-batch delta
+table plus aggregates:
+
+  * theta max-abs-diff and mean-L1 (north star: max <= 1e-3, BASELINE.json)
+  * PoI reprojection delta in pixels at warp_size
+  * consistency-score delta
+
+Inputs: ``--load`` a reference ``.pth`` checkpoint (state_dict or raw
+module save) and ``--img_dir`` a directory of frames.  With no arguments
+it self-provisions: builds the torch reference model (randomly initialized
+with randomized BN running stats — a strong numerical probe) and synthetic
+frames, so the harness is runnable end-to-end in this image today and on
+real NCAA data the moment a production checkpoint is available.
+
+The JAX side runs in float32 under ``jax.default_matmul_precision
+('highest')`` on whatever backend is active (TPU here); the torch side
+runs fp32 CPU.  Differences therefore bound the full cross-framework +
+cross-hardware gap.
+
+Usage:
+  python scripts/parity_report.py [--load ckpt.pth] [--img_dir frames/]
+      [--batch 4] [--n 16] [--out parity_report.md]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+TMPL = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
+POI = "/root/repo/assets/template_ncaa_v4_points.json"
+SIZE = (640, 360)
+
+
+def load_frames(img_dir, n, rng):
+    from PIL import Image
+
+    if img_dir:
+        names = sorted(os.listdir(img_dir))[:n]
+        out = []
+        for name in names:
+            img = Image.open(os.path.join(img_dir, name)).convert("RGB")
+            img = img.resize(SIZE, Image.BILINEAR)
+            out.append(np.asarray(img, np.float32) / 255.0)
+        return np.stack(out)
+    return rng.rand(n, SIZE[1], SIZE[0], 3).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--load", default=None, help="reference .pth checkpoint")
+    ap.add_argument("--img_dir", default=None)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--resnet", default="resnet34")
+    ap.add_argument("--out", default=None, help="write the report here too")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX side onto CPU (the JAX_PLATFORMS "
+                         "env var is ignored on the tunneled runtime)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
+
+    import torch
+
+    from torch_ref import import_reference
+
+    ref_reconstructor, _, _ = import_reference()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sports_field_homography_tpu.compat.torch_import import (
+        convert_state_dict)
+    from sports_field_homography_tpu.data.assets import (open_court_poi,
+                                                         open_court_template)
+    from sports_field_homography_tpu.models import (Reconstructor,
+                                                    ReconstructorConfig)
+    from sports_field_homography_tpu.ops.interval_warp import (
+        build_interval_table)
+
+    batch = args.batch
+    rng = np.random.RandomState(0)
+
+    ci = open_court_template(TMPL, num_classes=4, size=SIZE, batch_size=batch)
+    cp = open_court_poi(POI, batch)
+    ci_t = torch.from_numpy(np.asarray(ci)[..., 0])[:, None]  # (B,1,H,W)
+    cp_t = torch.from_numpy(np.asarray(cp))
+
+    torch.manual_seed(0)
+    ref = ref_reconstructor.Reconstructor(
+        ci_t, cp_t, target_size=SIZE, mask_classes=4, unet_size=SIZE,
+        warp_size=SIZE, resnet_name=args.resnet, resnet_input="img+mask",
+        warp_with_nearest=True)
+    if args.load:
+        sd = torch.load(args.load, map_location="cpu")
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd.state_dict()
+        missing, unexpected = ref.load_state_dict(sd, strict=False)
+        print(f"loaded {args.load}: {len(missing)} missing, "
+              f"{len(unexpected)} unexpected keys", file=sys.stderr)
+    else:
+        # randomized BN running stats: a strong probe without a checkpoint
+        g = torch.Generator().manual_seed(7)
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(
+                    torch.randn(m.num_features, generator=g) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.num_features, generator=g) * 0.5 + 0.75)
+        # the STN regression head is identity-initialized (theta == I for
+        # any input); perturb it so theta/PoI actually probe the network
+        with torch.no_grad():
+            for p in ref.resnet_reg.reg.parameters():
+                p.add_(torch.randn(p.shape, generator=g) * 0.05)
+        print("no --load: fresh reference init (randomized BN stats, "
+              "perturbed STN head)", file=sys.stderr)
+    ref.eval()
+
+    variables = convert_state_dict(ref.state_dict())
+    cfg = ReconstructorConfig(
+        target_size=SIZE, unet_size=SIZE, warp_size=SIZE,
+        resnet_name=args.resnet, resnet_input="img+mask",
+        warp_with_nearest=True)
+    model = Reconstructor(cfg, dtype=jnp.float32)
+    wt = build_interval_table(ci)
+    ci_j = jax.device_put(jnp.asarray(ci))
+    cp_j = jax.device_put(jnp.asarray(cp))
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def predict_j(variables, x):
+        with jax.default_matmul_precision("highest"):
+            return model.apply(variables, x, ci_j, cp_j, consistency=True,
+                               project_poi=True, warp_table=wt,
+                               method=model.predict)
+
+    frames = load_frames(args.img_dir, args.n, rng)
+    w, h = SIZE
+    rows = []
+    for i in range(0, len(frames), batch):
+        fb = frames[i:i + batch]
+        if len(fb) < batch:
+            break
+        with torch.no_grad():
+            pt = ref.predict(torch.from_numpy(fb.transpose(0, 3, 1, 2)),
+                             consistency=True, project_poi=True)
+        pj = predict_j(variables, jnp.asarray(fb))
+        th_t = pt["theta"].reshape(batch, 3, 3).numpy()
+        th_j = np.asarray(pj["theta"], np.float64).reshape(batch, 3, 3)
+        poi_t = pt["poi"].numpy().reshape(batch, -1, 2)
+        poi_j = np.asarray(pj["poi"], np.float64).reshape(batch, -1, 2)
+        sc_t = pt["consist_score"].numpy().reshape(-1)
+        sc_j = np.asarray(pj["consist_score"], np.float64).reshape(-1)
+        # PoI delta in pixels at warp_size ([0,1]-normalized coords)
+        poi_px = np.abs(poi_t - poi_j) * np.array([w, h])
+        rows.append({
+            "batch": i // batch,
+            "theta_max": float(np.abs(th_t - th_j).max()),
+            "theta_l1": float(np.abs(th_t - th_j).mean()),
+            "poi_px_max": float(poi_px.max()),
+            "poi_px_mean": float(poi_px.mean()),
+            "score_max": float(np.abs(sc_t - sc_j).max()),
+        })
+
+    hdr = ("| batch | theta max-abs | theta L1 | PoI px max | PoI px mean "
+           "| score max-abs |")
+    sep = "|---|---|---|---|---|---|"
+    lines = [f"# Parity report ({args.resnet} 640x360, "
+             f"{'ckpt ' + args.load if args.load else 'fresh init'}, "
+             f"jax backend={jax.default_backend()})", "", hdr, sep]
+    for r in rows:
+        lines.append(f"| {r['batch']} | {r['theta_max']:.2e} "
+                     f"| {r['theta_l1']:.2e} | {r['poi_px_max']:.3f} "
+                     f"| {r['poi_px_mean']:.3f} | {r['score_max']:.2e} |")
+    agg = {k: max(r[k] for r in rows)
+           for k in ("theta_max", "poi_px_max", "score_max")}
+    verdict = "PASS" if agg["theta_max"] <= 1e-3 else "FAIL"
+    lines += ["", f"**aggregate**: theta max-abs {agg['theta_max']:.2e} "
+              f"(north star <= 1e-3: {verdict}), PoI px max "
+              f"{agg['poi_px_max']:.3f}, score max {agg['score_max']:.2e}"]
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report + "\n")
+
+
+if __name__ == "__main__":
+    main()

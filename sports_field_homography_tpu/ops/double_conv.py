@@ -54,14 +54,26 @@ __all__ = ["double_conv_train", "double_conv_eval", "supports_double_conv",
            "supports_double_conv_eval"]
 
 
+# Train-mode fusion level gate: each fused DoubleConv holds x/y1/y2 as
+# custom-VJP residuals; fusing every eligible level at the flagship
+# batch-26 config measured 16.4 GB HBM (687 MB over).  Levels 1-2 carry
+# ~80% of the conv flops and the whole {3,0,2,1} lane-padding tax, so the
+# train gate keeps H*W >= this (level-2 @640x360 model = 57,600 px;
+# level-3 = 14,400).  Eval fuses every supported level (no residuals).
+_TRAIN_MIN_PIXELS = 50_000
+
+
 def supports_double_conv(shape, dtype, mid: int = 64,
                          out: int = 64) -> bool:
     """x (N,H,W,Cin): the mid/out-channel convs (and their dgrads, which
-    swap channel roles) must be kernel-supported, and the wgrad VMEM
-    accumulators must fit (deep >=512-channel levels stay on XLA); an
+    swap channel roles) must be kernel-supported, the wgrad VMEM
+    accumulators must fit (deep >=512-channel levels stay on XLA), and the
+    level must clear the residual-memory gate (``_TRAIN_MIN_PIXELS``); an
     unsupported Cin (the 3-channel stem) falls back to XLA for conv1 only.
     """
     n, h, w, cin = shape
+    if h * w < _TRAIN_MIN_PIXELS:
+        return False
     wg_cin = cin if supports_conv3x3(shape, dtype) else mid
     return (supports_conv3x3((n, h, w, mid), dtype)
             and supports_conv3x3((n, h, w, out), dtype)

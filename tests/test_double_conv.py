@@ -104,6 +104,13 @@ def test_supports():
     assert supports_double_conv((26, 360, 640, 64), jnp.bfloat16)
     assert supports_double_conv((26, 360, 640, 3), jnp.bfloat16)
     assert not supports_double_conv((2, 7, 18, 64), jnp.float32)
+    # level-3 and deeper stay on XLA in train mode (residual-memory gate)
+    assert not supports_double_conv((26, 90, 160, 128), jnp.bfloat16,
+                                    256, 256)
+    from sports_field_homography_tpu.ops.double_conv import (
+        supports_double_conv_eval)
+    assert supports_double_conv_eval((26, 90, 160, 128), jnp.bfloat16,
+                                     256, 256)
 
 
 class TestUNetIntegration:
@@ -112,6 +119,9 @@ class TestUNetIntegration:
 
     def _setup(self, cin=3):
         from sports_field_homography_tpu.models.unet import DoubleConv
+        from sports_field_homography_tpu.ops import double_conv as dc
+
+        dc._TRAIN_MIN_PIXELS = 0     # tiny test shapes must still fuse
 
         rng = np.random.RandomState(5)
         x = jnp.asarray(rng.randn(2, 8, 16, cin).astype(np.float32))
