@@ -84,8 +84,48 @@ def _resize_masks(masks: np.ndarray, out_size) -> np.ndarray:
     return np.stack(out, axis=0)
 
 
+class _DatasetShard:
+    """Contiguous [lo, hi) view of a dataset: each host of a multi-host
+    predict run processes only its own slice (pure data decomposition —
+    inference needs no cross-host collectives at all)."""
+
+    def __init__(self, base, lo: int, hi: int):
+        self.base, self.lo, self.n = base, lo, hi - lo
+        if isinstance(base, VideoDataset) and base.decode_workers == 1 and lo:
+            # sequential-decode path: pre-seek the capture to the shard
+            # start so in-order reads serve frames lo, lo+1, ...
+            import cv2
+
+            base.cap = cv2.VideoCapture(base.path)
+            base.cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        return self.base[self.lo + i]
+
+
 def process(argv=None, num_data_workers: int = 4):
     args = get_prediction_args(argv)
+    if os.environ.get("SFH_JAX_PLATFORM"):
+        # test hook: the JAX_PLATFORMS env var is ignored on the tunneled
+        # runtime (CLAUDE.md); this must land before first backend use
+        jax.config.update("jax_platforms", os.environ["SFH_JAX_PLATFORM"])
+
+    # multi-host runtime must come up before any backend use
+    multihost = False
+    if (getattr(args, "num_hosts", None) or
+            getattr(args, "coordinator", None)):
+        from ..parallel.distributed import initialize_distributed
+        multihost = initialize_distributed(args.coordinator, args.num_hosts,
+                                           args.host_id)
+        if multihost:
+            assert args.num_devices is None, \
+                "--num_devices is per-host single-process; in multi-host " \
+                "runs each host uses its local devices"
+            print(f"jax.distributed up: predict process "
+                  f"{jax.process_index()} of {jax.process_count()}")
 
     # conf.yaml sidecar discovery + overlay (reference predict.py:137-148)
     args.conf_path = discover_conf(args.load, args.conf_path)
@@ -172,6 +212,16 @@ def process(argv=None, num_data_workers: int = 4):
                             keep_orig_img=keep_orig_img, raw_uint8=True,
                             decode_workers=getattr(args, "video_workers", 1))
         loader = Loader(data, args.batchsize, shuffle=False, num_workers=1)
+    if multihost and jax.process_count() > 1:
+        # contiguous per-host slice of the input (reference has no
+        # multi-machine inference; this is the DCN scale-out analog)
+        pid, nproc = jax.process_index(), jax.process_count()
+        per = (len(data) + nproc - 1) // nproc
+        lo, hi = pid * per, min((pid + 1) * per, len(data))
+        data = _DatasetShard(data, lo, hi)
+        nw = num_data_workers if args.img_dir is not None else 1
+        loader = Loader(data, args.batchsize, shuffle=False, num_workers=nw)
+        print(f"host {pid}: frames [{lo}, {hi}), {hi - lo} local")
     n_data = len(data)
 
     logger.info(f"""Start making predictions:
@@ -198,6 +248,8 @@ def process(argv=None, num_data_workers: int = 4):
     out_q: "queue.Queue" = queue.Queue(maxsize=8)
     json_path = os.path.join(args.dst_dir,
                              "{}_court_processing.json".format(game_name))
+    if multihost and jax.process_count() > 1:
+        json_path += ".h{}".format(jax.process_index())
     writer_state: Dict[str, Optional[object]] = {"json": None, "segm_pkl": None,
                                                  "warp_pkl": None, "error": None}
 
@@ -379,6 +431,31 @@ def process(argv=None, num_data_workers: int = 4):
             writer_state[key].close()
     if writer_state["json"] is not None:
         writer_state["json"].close()
+    if multihost and jax.process_count() > 1:
+        # every host's JSONL part is on disk; barrier, then host 0 merges
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("sfh_predict_writers_done")
+        if jax.process_index() == 0:
+            base = os.path.join(args.dst_dir,
+                                "{}_court_processing.json".format(game_name))
+            parts = [base + ".h{}".format(p)
+                     for p in range(jax.process_count())]
+            output = {}
+            for part in parts:
+                if not os.path.exists(part):
+                    continue
+                with open(part) as f:
+                    for line in f:
+                        output.update(json.loads(line))
+                os.remove(part)
+            if output:
+                output["model"] = os.path.basename(os.path.dirname(args.load)) \
+                    if args.load else "uninitialized"
+                new_path = os.path.join(args.dst_dir,
+                                        "{}_court.json".format(game_name))
+                with open(new_path, "w") as f:
+                    json.dump(output, f, cls=NumpyEncoder, indent=2)
+    elif writer_state["json"] is not None:
         output = {k: v for line in open(json_path, "r")
                   for k, v in json.loads(line).items()}
         output["model"] = os.path.basename(os.path.dirname(args.load)) \

@@ -56,11 +56,14 @@ __all__ = ["double_conv_train", "double_conv_eval", "supports_double_conv",
 
 # Train-mode fusion level gate: each fused DoubleConv holds x/y1/y2 as
 # custom-VJP residuals; fusing every eligible level at the flagship
-# batch-26 config measured 16.4 GB HBM (687 MB over).  Levels 1-2 carry
-# ~80% of the conv flops and the whole {3,0,2,1} lane-padding tax, so the
-# train gate keeps H*W >= this (level-2 @640x360 model = 57,600 px;
-# level-3 = 14,400).  Eval fuses every supported level (no residuals).
-_TRAIN_MIN_PIXELS = 50_000
+# batch-26 config measured 16.4 GB HBM (687 MB over), and every fused
+# level adds several slow-to-compile Mosaic kernels on the tunneled dev
+# runtime.  Level 1 carries the whole {3,0,2,1} lane-padding tax and the
+# largest share of the conv flops, so the train gate keeps H*W >= this
+# (level-1 @640x360 model = 230,400 px; level-2 = 57,600; level-3 =
+# 14,400).  Eval fuses every supported level (no residuals).  Lower it
+# (e.g. to 50_000) to fuse level 2 as well once HBM headroom allows.
+_TRAIN_MIN_PIXELS = 200_000
 
 
 def supports_double_conv(shape, dtype, mid: int = 64,
