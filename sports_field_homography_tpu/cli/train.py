@@ -89,12 +89,18 @@ def main(argv=None):
 
     # warm-start the STN from converted torchvision weights if requested
     if args.resnet_pretrained and args.load is None:
-        from ..compat.torch_import import (load_torch_checkpoint,
+        from ..compat.torch_import import (TORCHVISION_URLS,
+                                           load_torch_checkpoint,
                                            load_torchvision_resnet)
-        pre = load_torch_checkpoint(args.resnet_pretrained)
-        if not pre["params"]:
-            # raw torchvision ResNet weights (the reference's usual source)
+        if (args.resnet_pretrained in TORCHVISION_URLS
+                or args.resnet_pretrained.startswith(("http://", "https://"))):
+            # variant name or URL -> torchvision weights via torch.hub
             pre = load_torchvision_resnet(args.resnet_pretrained)
+        else:
+            pre = load_torch_checkpoint(args.resnet_pretrained)
+            if not pre["params"]:
+                # raw torchvision ResNet weights from a local file
+                pre = load_torchvision_resnet(args.resnet_pretrained)
         if pre["params"]:
             logger.info(f"ResNet warm-start from {args.resnet_pretrained}")
             for col in ("params", "batch_stats"):

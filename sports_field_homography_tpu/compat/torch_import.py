@@ -145,8 +145,41 @@ def convert_torchvision_resnet(sd: Mapping[str, "object"]) -> Dict:
     return convert_state_dict(remapped)
 
 
-def load_torchvision_resnet(path: str) -> Dict:
+# Public torchvision weight URLs (the table the reference carries in
+# ``models/resnet.py:13-23``); used when --resnet_pretrained names a
+# variant instead of a local file.
+TORCHVISION_URLS = {
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "resnet34": "https://download.pytorch.org/models/resnet34-333f7ec4.pth",
+    "resnet50": "https://download.pytorch.org/models/resnet50-19c8e357.pth",
+    "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    "resnet152": "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
+    "resnext50_32x4d":
+        "https://download.pytorch.org/models/resnext50_32x4d-7cdf4587.pth",
+    "resnext101_32x8d":
+        "https://download.pytorch.org/models/resnext101_32x8d-8ba56ff5.pth",
+    "wide_resnet50_2":
+        "https://download.pytorch.org/models/wide_resnet50_2-95faca4d.pth",
+    "wide_resnet101_2":
+        "https://download.pytorch.org/models/wide_resnet101_2-32ee1156.pth",
+}
+
+
+def load_torchvision_resnet(source: str) -> Dict:
+    """STN warm-start weights from a local torchvision ``.pth``, a variant
+    name (``resnet34`` — resolved through ``TORCHVISION_URLS`` and fetched
+    via torch.hub's cache), or a direct URL."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    url = TORCHVISION_URLS.get(source, source)
+    if url.startswith(("http://", "https://")):
+        try:
+            sd = torch.hub.load_state_dict_from_url(url, map_location="cpu")
+        except Exception as e:  # no network: actionable message
+            raise RuntimeError(
+                f"could not download torchvision weights from {url} "
+                f"(offline?). Download the file manually and pass its "
+                f"local path to --resnet_pretrained.") from e
+    else:
+        sd = torch.load(source, map_location="cpu", weights_only=True)
     return convert_torchvision_resnet(sd)

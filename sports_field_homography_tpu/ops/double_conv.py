@@ -288,10 +288,18 @@ def _bwd_vjp(eps, interpret, res, cots):
 double_conv_train.defvjp(_fwd_vjp, _bwd_vjp)
 
 
+# Eval fusion gate: levels 1-2 are where the Pallas kernels measure ahead
+# of XLA (44-70 vs 17-50 TF/s standalone); deeper levels are small,
+# XLA-competitive, and each adds slow tunnel-compiled Mosaic kernels.
+_EVAL_MIN_PIXELS = 50_000
+
+
 def supports_double_conv_eval(shape, dtype, mid: int = 64,
                               out: int = 64) -> bool:
     """Eval needs no wgrad, so only the conv kernels must be supported."""
     n, h, w, cin = shape
+    if h * w < _EVAL_MIN_PIXELS:
+        return False
     return (supports_conv3x3((n, h, w, mid), dtype)
             and supports_conv3x3((n, h, w, out), dtype))
 

@@ -145,7 +145,10 @@ def get_training_args(ret_parser: bool = False, argv=None):
     parser = make_base_parser()
 
     parser.add_argument("--resnet_pretrained", type=str, default=None,
-                        help="Warm-start ResNetSTN from converted pretrained weights")
+                        help="Warm-start ResNetSTN: a local .pth (reference "
+                             "or torchvision state_dict), a torchvision "
+                             "variant name (e.g. 'resnet34' -> downloaded "
+                             "via torch.hub), or a direct URL")
 
     # Training data:
     parser.add_argument("--mask_dir", dest="mask_dir", type=str, default=None)

@@ -109,8 +109,12 @@ def test_supports():
                                     256, 256)
     from sports_field_homography_tpu.ops.double_conv import (
         supports_double_conv_eval)
-    assert supports_double_conv_eval((26, 90, 160, 128), jnp.bfloat16,
-                                     256, 256)
+    # eval fuses levels 1-2 (no residuals, but tunnel-compile cost gates
+    # the small deep levels)
+    assert supports_double_conv_eval((26, 180, 320, 64), jnp.bfloat16,
+                                     128, 128)
+    assert not supports_double_conv_eval((26, 90, 160, 128), jnp.bfloat16,
+                                         256, 256)
 
 
 class TestUNetIntegration:
@@ -122,6 +126,7 @@ class TestUNetIntegration:
         from sports_field_homography_tpu.ops import double_conv as dc
 
         dc._TRAIN_MIN_PIXELS = 0     # tiny test shapes must still fuse
+        dc._EVAL_MIN_PIXELS = 0
 
         rng = np.random.RandomState(5)
         x = jnp.asarray(rng.randn(2, 8, 16, cin).astype(np.float32))
