@@ -131,21 +131,81 @@ def _bn_relu_bwd(y, g, mean, rstd, gamma, beta, m, packed=False):
     return dy.astype(y.dtype), dgamma, dbeta
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _stem_pairs(x):
+    """(N, H, W, C) small-C input -> width-pair im2col (N, H, W/2, 2*9C).
+
+    Lane order: parity-major ([u=0 taps | u=1 taps]), taps in (ky, kx, c)
+    order — matching ``_stem_block_weights``.  Built from strided slices
+    of the padded input, which XLA fuses into one pass; this NEVER
+    reshapes 64<->128 lanes on a big buffer (the round-3 profile measured
+    such reshapes at ~30 ms each).
+    """
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [xp[:, ky:ky + h, kx + u:kx + u + w:2, :]
+            for u in (0, 1) for ky in range(3) for kx in range(3)]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _stem_block_weights(k1):
+    """(3, 3, C, Mid) -> (2*9C, 2*Mid) pair block-diagonal weights."""
+    kh, kw, c, mid = k1.shape
+    kf = k1.reshape(kh * kw * c, mid)
+    z = jnp.zeros_like(kf)
+    return jnp.concatenate(
+        [jnp.concatenate([kf, z], axis=1),
+         jnp.concatenate([z, kf], axis=1)], axis=0)
+
+
+def _stem_pair_dot(x, k1, b1, dt):
+    """Stem conv as a pair-packed XLA dot: y1 PACKED (N,H,W/2,2Mid) + stat
+    sums.  Dots keep row-major layouts (unlike XLA convs, which would pin
+    ``{3,0,2,1}`` onto the shared level-1 buffers)."""
+    n, h, w, _ = x.shape
+    mid = k1.shape[-1]
+    pairs = _stem_pairs(x).astype(dt)
+    k2d = pairs.shape[-1]
+    yf = jnp.dot(pairs.reshape(-1, k2d), _stem_block_weights(k1).astype(dt),
+                 preferred_element_type=jnp.float32)
+    yf = yf + tile_pair(b1)
+    sums = fold_pair_sums(
+        jnp.stack([jnp.sum(yf, 0), jnp.sum(yf * yf, 0)]), mid)
+    return yf.astype(dt).reshape(n, h, w // 2, 2 * mid), sums
+
+
+def _stats_xla(y, c):
+    """Per-channel (sum, sumsq) of a PACKED activation via one XLA pass."""
+    yf = y.astype(jnp.float32)
+    return fold_pair_sums(
+        jnp.stack([jnp.sum(yf, (0, 1, 2)),
+                   jnp.sum(yf * yf, (0, 1, 2))]), c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def double_conv_train(x, k1, b1, g1, be1, k2, b2, g2, be2,
-                      eps: float = 1e-5, interpret: Optional[bool] = None):
+                      eps: float = 1e-5, interpret: Optional[bool] = None,
+                      io: str = "native"):
     """(conv3x3 -> train-BN -> ReLU) x 2.
 
     Args:
-      x: (N, H, W, Cin) activation (bf16/f32).
+      x: (N, H, W, Cin) activation (bf16/f32) — or, for ``io`` modes
+        below, the packed forms.
       k1: (3, 3, Cin, Mid) f32 conv kernel; b1 (Mid,) bias.
       g1/be1: (Mid,) BN scale/shift.  k2/b2/g2/be2: same for conv2.
+      io: boundary layout (STATIC) —
+        * "native": x and out are plain (N,H,W,C) arrays (the interior
+          still packs 64-channel work internally).
+        * "stem_packed": x is the small-C network input; conv1 runs as a
+          pair-packed XLA dot and OUT IS PACKED (N,H,W/2,128).
+        * "dual_packed": x is a TUPLE of two packed activations (the
+          decoder skip + upsample pair — concat-free: conv(concat(a,b))
+          == conv(a,W_a) + conv(b,W_b)); out is packed.
     Returns:
-      (out (N,H,W,Cout), mean1, var1, mean2, var2) — biased variances,
-      f32, for the caller's running-stat update.
+      (out, mean1, var1, mean2, var2) — biased variances, f32, for the
+      caller's running-stat update.
     """
     out, *_rest = _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2,
-                            eps, interpret)
+                            eps, interpret, io)
     return (out,) + tuple(_rest[:4])
 
 
@@ -157,28 +217,54 @@ def _use_packed(x, k1, k2):
             and supports_packed((n, h, w, 64), x.dtype))
 
 
-def _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret):
-    n, h, w, cin = x.shape
-    m = n * h * w
-    mid, cout = k1.shape[-1], k2.shape[-1]
-    dt = x.dtype
+def _conv1_fwd(x, k1, b1, k2, dt, io, interpret):
+    """conv1 + stat sums per io mode.  Returns (xk_residual, y1, s1,
+    packed) — y1 packed iff the interior runs packed."""
+    mid = k1.shape[-1]
+    if io == "stem_packed":
+        y1, s1 = _stem_pair_dot(x, k1, b1, dt)
+        return x, y1, s1, True
+    if io == "dual_packed":
+        xa, xb = x
+        ca = xa.shape[-1] // 2
+        y1 = conv3x3(xa, pack_pair_weights(k1[:, :, :ca]).astype(dt),
+                     tile_pair(b1), interpret=interpret)
+        y1 = y1 + conv3x3(xb, pack_pair_weights(k1[:, :, ca:]).astype(dt),
+                          interpret=interpret)
+        return x, y1, _stats_xla(y1, mid), True
+    # io == "native"
+    cin = x.shape[-1]
     packed = _use_packed(x, k1, k2)
     if packed and cin == 64:
         xk = pack_pairs(x)
         y1, s1 = conv3x3(xk, pack_pair_weights(k1).astype(dt),
                          tile_pair(b1), stats=True, interpret=interpret)
-        s1 = fold_pair_sums(s1, mid)
-    elif supports_conv3x3(x.shape, dt):
-        xk = x
+        return xk, y1, fold_pair_sums(s1, mid), True
+    if supports_conv3x3(x.shape, dt):
         y1, s1 = conv3x3(x, pack_weights(k1).astype(dt), b1,
                          stats=True, interpret=interpret)
-        if packed:
-            y1 = pack_pairs(y1)
-    else:  # 3-channel stem
-        xk = x
+    else:  # 3-channel stem, native out
         y1, s1 = _xla_conv_stats(x, k1, b1)
-        if packed:
-            y1 = pack_pairs(y1)
+    if packed:
+        y1 = pack_pairs(y1)
+    return x, y1, s1, packed
+
+
+def _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret, io):
+    mid, cout = k1.shape[-1], k2.shape[-1]
+    if io != "native":
+        assert mid == 64 and cout == 64, (io, mid, cout)
+        ref = x[0] if io == "dual_packed" else x
+        n, h = ref.shape[0], ref.shape[1]
+        w = ref.shape[2] * (2 if io == "dual_packed" else 1)
+        if io == "stem_packed":
+            w = ref.shape[2]
+    else:
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    m = n * h * w
+    dt = (x[0] if isinstance(x, tuple) else x).dtype
+
+    xk, y1, s1, packed = _conv1_fwd(x, k1, b1, k2, dt, io, interpret)
     mean1, var1, rstd1 = _finalize_stats(s1, m, eps)
     inv1 = rstd1 * g1
     if packed:
@@ -198,39 +284,85 @@ def _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret):
     if packed:
         out = jnp.maximum((y2f - tile_pair(mean2)) * tile_pair(inv2)
                           + tile_pair(be2), 0.0).astype(dt)
-        out = unpack_pairs(out)
+        if io == "native":
+            out = unpack_pairs(out)
     else:
         out = jnp.maximum((y2f - mean2) * inv2 + be2, 0.0).astype(dt)
     # y1/y2 residuals stay in the packed layout when packed; xk is the
-    # conv1-input view (packed iff cin == 64 and packed)
+    # conv1-input view (packed iff the input itself is packed)
     return out, mean1, var1, mean2, var2, xk, y1, y2, rstd1, rstd2
 
 
-def _fwd_vjp(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret):
+def _fwd_vjp(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret, io):
     (out, mean1, var1, mean2, var2, xk, y1, y2,
      rstd1, rstd2) = _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2,
-                               eps, interpret)
+                               eps, interpret, io)
     res = (xk, y1, y2, mean1, rstd1, mean2, rstd2,
            k1, g1, be1, k2, g2, be2)
     return (out, mean1, var1, mean2, var2), res
 
 
-def _bwd_vjp(eps, interpret, res, cots):
+def _conv1_bwd(xk, dy1, k1, dt, io, interpret):
+    """dx/dk1/db1 per io mode (dy1 is packed iff the interior is)."""
+    cin, mid = k1.shape[2], k1.shape[3]
+    if io == "stem_packed":
+        # dW via the recomputed pair-im2col; dx via an XLA conv (the
+        # network input needs no grad in training — XLA DCEs it)
+        pairs = _stem_pairs(xk).astype(dt)
+        k2d = pairs.shape[-1]
+        dwblk = jax.lax.dot_general(
+            pairs.reshape(-1, k2d), dy1.reshape(-1, dy1.shape[-1]),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        nine_c = 9 * cin
+        dk1 = (dwblk[:nine_c, :mid]
+               + dwblk[nine_c:, mid:]).reshape(3, 3, cin, mid)
+        db1 = fold_pair_sums(
+            jnp.sum(dy1.astype(jnp.float32), (0, 1, 2))[None], mid)[0]
+        dy1u = unpack_pairs(dy1)
+        dx = jax.lax.conv_general_dilated(
+            dy1u, k1[::-1, ::-1].transpose(0, 1, 3, 2).astype(dt),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return dx, dk1, db1
+    if io == "dual_packed":
+        xa, xb = xk
+        ca = xa.shape[-1] // 2
+        k1a, k1b = k1[:, :, :ca], k1[:, :, ca:]
+        dwa, dba = wgrad3x3(xa, dy1, interpret=interpret)
+        dwb, _ = wgrad3x3(xb, dy1, interpret=interpret)
+        dk1 = jnp.concatenate([fold_pair_wgrad(dwa, ca, mid),
+                               fold_pair_wgrad(dwb, cin - ca, mid)], axis=2)
+        db1 = fold_pair_sums(dba[None], mid)[0]
+        dxa = conv3x3(dy1, dgrad_pair_weights(k1a).astype(dt),
+                      interpret=interpret)
+        dxb = conv3x3(dy1, dgrad_pair_weights(k1b).astype(dt),
+                      interpret=interpret)
+        return (dxa, dxb), dk1, db1
+    raise AssertionError(io)
+
+
+def _bwd_vjp(eps, interpret, io, res, cots):
     g, _dm1, _dv1, _dm2, _dv2 = cots      # stat cotangents detached
     (xk, y1, y2, mean1, rstd1, mean2, rstd2,
      k1, g1, be1, k2, g2, be2) = res
     cin = k1.shape[2]
-    n, h = xk.shape[0], xk.shape[1]
-    packed_x = xk.shape[-1] == 2 * cin    # xk is the pair-packed view
-    w = xk.shape[2] * 2 if packed_x else xk.shape[2]
+    mid, cout = k1.shape[-1], k2.shape[-1]
+    if io == "dual_packed":
+        ref = xk[0]
+        n, h, w = ref.shape[0], ref.shape[1], ref.shape[2] * 2
+        packed_x = True
+    else:
+        n, h = xk.shape[0], xk.shape[1]
+        packed_x = xk.shape[-1] == 2 * cin and io != "stem_packed"
+        w = xk.shape[2] * 2 if packed_x else xk.shape[2]
     x_shape = (n, h, w, cin)
     m = n * h * w
-    mid, cout = k1.shape[-1], k2.shape[-1]
-    dt = xk.dtype
+    dt = (xk[0] if isinstance(xk, tuple) else xk).dtype
     packed = y1.shape[-1] == 2 * mid      # residuals carry the layout
 
     # BN2 + ReLU backward (out = relu(bn2(y2)))
-    gk = pack_pairs(g) if packed else g
+    gk = pack_pairs(g) if (packed and io == "native") else g
     dy2, dgamma2, dbeta2 = _bn_relu_bwd(y2, gk, mean2, rstd2, g2, be2, m,
                                         packed=packed)
 
@@ -254,7 +386,9 @@ def _bwd_vjp(eps, interpret, res, cots):
                                         packed=packed)
 
     # conv1 backward
-    if packed and packed_x:               # xk is the packed input view
+    if io != "native":
+        dx, dk1, db1 = _conv1_bwd(xk, dy1, k1, dt, io, interpret)
+    elif packed and packed_x:             # xk is the packed input view
         dw1, db1 = wgrad3x3(xk, dy1, interpret=interpret)
         dk1 = fold_pair_wgrad(dw1, cin, mid)
         db1 = fold_pair_sums(db1[None], mid)[0]
@@ -306,35 +440,48 @@ def supports_double_conv_eval(shape, dtype, mid: int = 64,
 
 def double_conv_eval(x, k1, b1, g1, be1, rm1, rv1, k2, b2, g2, be2,
                      rm2, rv2, eps: float = 1e-5,
-                     interpret: Optional[bool] = None):
+                     interpret: Optional[bool] = None, io: str = "native"):
     """Inference DoubleConv: (conv3x3 -> eval-BN(running stats) -> ReLU) x 2.
 
     Same kernels as the train path minus the stat sums and the VJP; BN1 +
     ReLU ride conv2's prologue, BN2 + ReLU are one XLA elementwise pass.
     Works on folded variables too (scale=1 / mean=0 / var=1-eps degenerate
-    to the same affine).
+    to the same affine).  ``io`` as in ``double_conv_train`` (packed
+    boundary forms for the level-1 packed domain).
     """
-    n, h, w, cin = x.shape
     mid, cout = k1.shape[-1], k2.shape[-1]
-    dt = x.dtype
-    packed = _use_packed(x, k1, k2)
+    dt = (x[0] if isinstance(x, tuple) else x).dtype
     inv1 = g1 * jax.lax.rsqrt(rv1 + eps)
     inv2 = g2 * jax.lax.rsqrt(rv2 + eps)
-    if packed and cin == 64:
-        y1 = conv3x3(pack_pairs(x), pack_pair_weights(k1).astype(dt),
+    if io == "stem_packed":
+        y1, _ = _stem_pair_dot(x, k1, b1, dt)
+        packed = True
+    elif io == "dual_packed":
+        xa, xb = x
+        ca = xa.shape[-1] // 2
+        y1 = conv3x3(xa, pack_pair_weights(k1[:, :, :ca]).astype(dt),
                      tile_pair(b1), interpret=interpret)
-    elif supports_conv3x3(x.shape, dt):
-        y1 = conv3x3(x, pack_weights(k1).astype(dt), b1,
-                     interpret=interpret)
-        if packed:
-            y1 = pack_pairs(y1)
-    else:  # 3-channel stem
-        y1 = jax.lax.conv_general_dilated(
-            x, k1.astype(dt), window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1.astype(dt)
-        if packed:
-            y1 = pack_pairs(y1)
+        y1 = y1 + conv3x3(xb, pack_pair_weights(k1[:, :, ca:]).astype(dt),
+                          interpret=interpret)
+        packed = True
+    else:
+        cin = x.shape[-1]
+        packed = _use_packed(x, k1, k2)
+        if packed and cin == 64:
+            y1 = conv3x3(pack_pairs(x), pack_pair_weights(k1).astype(dt),
+                         tile_pair(b1), interpret=interpret)
+        elif supports_conv3x3(x.shape, dt):
+            y1 = conv3x3(x, pack_weights(k1).astype(dt), b1,
+                         interpret=interpret)
+            if packed:
+                y1 = pack_pairs(y1)
+        else:  # 3-channel stem
+            y1 = jax.lax.conv_general_dilated(
+                x, k1.astype(dt), window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1.astype(dt)
+            if packed:
+                y1 = pack_pairs(y1)
     if packed:
         y2 = conv3x3(y1, pack_pair_weights(k2).astype(dt), tile_pair(b2),
                      prologue=(tile_pair(rm1), tile_pair(inv1),
@@ -342,7 +489,8 @@ def double_conv_eval(x, k1, b1, g1, be1, rm1, rv1, k2, b2, g2, be2,
                      interpret=interpret)
         out = jnp.maximum((y2.astype(jnp.float32) - tile_pair(rm2))
                           * tile_pair(inv2) + tile_pair(be2), 0.0)
-        return unpack_pairs(out.astype(dt))
+        out = out.astype(dt)
+        return unpack_pairs(out) if io == "native" else out
     y2 = conv3x3(y1, pack_weights(k2).astype(dt), b2,
                  prologue=(rm1, inv1, be1), interpret=interpret)
     out = jnp.maximum((y2.astype(jnp.float32) - rm2) * inv2 + be2, 0.0)

@@ -191,3 +191,117 @@ class TestUNetIntegration:
         yx = mod_x.apply(vv, x, False)
         np.testing.assert_allclose(np.asarray(ye), np.asarray(yx),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestPackedIOModes:
+    """stem_packed / dual_packed boundary forms vs the XLA composition."""
+
+    def test_stem_packed_forward_and_grads(self):
+        from sports_field_homography_tpu.ops.conv3x3_pallas import (
+            unpack_pairs)
+
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(2, 8, 16, 3).astype(np.float32))
+        params = make_params(rng, 3, 64, 64)
+        cot_p = jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32))
+
+        out, m1, v1, m2, v2 = double_conv_train(x, *params, EPS, True,
+                                                "stem_packed")
+        assert out.shape == (2, 8, 8, 128)
+        ref = ref_double_conv(x, *params)
+        np.testing.assert_allclose(np.asarray(unpack_pairs(out)),
+                                   np.asarray(ref[0]), rtol=2e-4, atol=2e-4)
+        for got, want, tag in zip((m1, v1, m2, v2), ref[1:],
+                                  ("m1", "v1", "m2", "v2")):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4, err_msg=tag)
+
+        def loss_f(x, *p):
+            o = double_conv_train(x, *p, EPS, True, "stem_packed")[0]
+            return jnp.sum(o * cot_p)
+
+        def loss_r(x, *p):
+            from sports_field_homography_tpu.ops.conv3x3_pallas import (
+                pack_pairs)
+            return jnp.sum(pack_pairs(ref_double_conv(x, *p)[0]) * cot_p)
+
+        gf = jax.grad(loss_f, argnums=tuple(range(9)))(x, *params)
+        gr = jax.grad(loss_r, argnums=tuple(range(9)))(x, *params)
+        names = ["dx", "dk1", "db1", "dg1", "dbe1", "dk2", "db2", "dg2",
+                 "dbe2"]
+        for got, want, tag in zip(gf, gr, names):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=5e-4, atol=5e-4, err_msg=tag)
+
+    def test_dual_packed_forward_and_grads(self):
+        from sports_field_homography_tpu.ops.conv3x3_pallas import (
+            pack_pairs, unpack_pairs)
+
+        rng = np.random.RandomState(12)
+        a = jnp.asarray(rng.randn(2, 8, 16, 64).astype(np.float32))
+        b = jnp.asarray(rng.randn(2, 8, 16, 64).astype(np.float32))
+        params = make_params(rng, 128, 64, 64)
+        cot_p = jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32))
+
+        out, m1, v1, m2, v2 = double_conv_train(
+            (pack_pairs(a), pack_pairs(b)), *params, EPS, True,
+            "dual_packed")
+        ref = ref_double_conv(jnp.concatenate([a, b], -1), *params)
+        np.testing.assert_allclose(np.asarray(unpack_pairs(out)),
+                                   np.asarray(ref[0]), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(ref[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+        def loss_f(a, b, *p):
+            o = double_conv_train((pack_pairs(a), pack_pairs(b)), *p,
+                                  EPS, True, "dual_packed")[0]
+            return jnp.sum(o * cot_p)
+
+        def loss_r(a, b, *p):
+            o = ref_double_conv(jnp.concatenate([a, b], -1), *p)[0]
+            return jnp.sum(pack_pairs(o) * cot_p)
+
+        gf = jax.grad(loss_f, argnums=tuple(range(10)))(a, b, *params)
+        gr = jax.grad(loss_r, argnums=tuple(range(10)))(a, b, *params)
+        names = ["da", "db_in", "dk1", "db1", "dg1", "dbe1", "dk2", "db2",
+                 "dg2", "dbe2"]
+        for got, want, tag in zip(gf, gr, names):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=5e-4, atol=5e-4, err_msg=tag)
+
+    def test_eval_io_modes(self):
+        from sports_field_homography_tpu.ops.conv3x3_pallas import (
+            pack_pairs, unpack_pairs)
+        from sports_field_homography_tpu.ops.double_conv import (
+            double_conv_eval)
+
+        rng = np.random.RandomState(13)
+        x3 = jnp.asarray(rng.randn(2, 8, 16, 3).astype(np.float32))
+        a = jnp.asarray(rng.randn(2, 8, 16, 64).astype(np.float32))
+        b = jnp.asarray(rng.randn(2, 8, 16, 64).astype(np.float32))
+
+        def eval_ref(x, k1, b1, g1, be1, k2, b2, g2, be2, rm1, rv1,
+                     rm2, rv2):
+            y1 = ref_conv(x, k1, b1)
+            z1 = jnp.maximum((y1 - rm1) * jax.lax.rsqrt(rv1 + EPS) * g1
+                             + be1, 0.0)
+            y2 = ref_conv(z1, k2, b2)
+            return jnp.maximum((y2 - rm2) * jax.lax.rsqrt(rv2 + EPS) * g2
+                               + be2, 0.0)
+
+        for cin, io, xin in ((3, "stem_packed", x3),
+                             (128, "dual_packed",
+                              (pack_pairs(a), pack_pairs(b)))):
+            params = make_params(rng, cin, 64, 64)
+            rm1 = jnp.asarray(rng.randn(64).astype(np.float32) * .2)
+            rv1 = jnp.asarray(1 + rng.rand(64).astype(np.float32))
+            rm2 = jnp.asarray(rng.randn(64).astype(np.float32) * .2)
+            rv2 = jnp.asarray(1 + rng.rand(64).astype(np.float32))
+            k1, b1, g1, be1, k2, b2, g2, be2 = params
+            got = double_conv_eval(xin, k1, b1, g1, be1, rm1, rv1,
+                                   k2, b2, g2, be2, rm2, rv2, EPS, True, io)
+            x_ref = x3 if cin == 3 else jnp.concatenate([a, b], -1)
+            want = eval_ref(x_ref, *params, rm1, rv1, rm2, rv2)
+            np.testing.assert_allclose(np.asarray(unpack_pairs(got)),
+                                       np.asarray(want), rtol=2e-4,
+                                       atol=2e-4, err_msg=io)
