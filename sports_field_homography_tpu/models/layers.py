@@ -55,6 +55,21 @@ class Conv3x3Params(nn.Module):
         return k, b
 
 
+class Conv1x1Params(nn.Module):
+    """Param-only twin of ``nn.Conv(features, (1,1))`` (``OutConv``)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_conv_kernel_init,
+                       (1, 1, self.in_features, self.features), jnp.float32)
+        b = self.param("bias", torch_bias_init(self.in_features),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class BatchNormParams(nn.Module):
     """Param/variable-only twin of ``BatchNorm`` (same names/shapes/inits)."""
 

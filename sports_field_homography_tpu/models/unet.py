@@ -24,13 +24,34 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.resize import upsample2x_bilinear
-from .layers import (BatchNormParams, Conv3x3Params, batch_norm_apply,
-                     max_pool, torch_conv_kernel_init, torch_bias_init)
+from .layers import (BatchNormParams, Conv1x1Params, Conv3x3Params,
+                     batch_norm_apply, max_pool, torch_conv_kernel_init,
+                     torch_bias_init)
 
 __all__ = ["DoubleConv", "Down", "Up", "OutConv", "UNet"]
 
 _BN_EPS = 1e-5
 _BN_MOMENTUM = 0.1
+
+
+def max_pool_packed(xp: jnp.ndarray) -> jnp.ndarray:
+    """2x2 maxpool of a width-pair-packed (N, H, W/2, 2C) activation.
+
+    The W-direction pair IS the packed lane pair (a lane-half max) and the
+    H-direction pair is a major-dim strided max — cheaper than the native
+    reduce-window, and it keeps the packed level-1 buffer away from XLA
+    layout opinions.  Output is the NATIVE (N, H/2, W/2, C) result.
+
+    ``where`` chains (not jnp.maximum) so the GRADIENT picks the row-major
+    -first max cell on ties — ReLU inputs tie at 0.0 constantly, and
+    jnp.maximum's split-the-tie subgradient would diverge from the
+    reduce-window (and torch) semantics of the native path.
+    """
+    c = xp.shape[-1] // 2
+    left, right = xp[..., :c], xp[..., c:]
+    m = jnp.where(left >= right, left, right)
+    top, bot = m[:, 0::2], m[:, 1::2]
+    return jnp.where(top >= bot, top, bot)
 
 
 class DoubleConv(nn.Module):
@@ -59,22 +80,45 @@ class DoubleConv(nn.Module):
     # (ops/bn_pallas) when shapes allow; f32-rounding-level equivalent
     fused_bn: bool = False
     conv_kernel: str = "xla"        # xla | pallas
+    # boundary layout for the fused kernels: "native" | "stem_packed" |
+    # "dual_packed" (see ops.double_conv).  Non-native ios are set by
+    # UNet when the packed level-1 domain is active; the caller has
+    # already verified kernel support, and the OUTPUT IS PACKED.
+    io: str = "native"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x, train: bool) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
-        in_ch = x.shape[-1]
+        if isinstance(x, tuple):        # dual_packed: (skip_p, up_p)
+            in_ch = sum(t.shape[-1] for t in x) // 2
+        else:
+            in_ch = x.shape[-1]
         k1, cb1 = Conv3x3Params(mid, in_ch, name="conv1")()
         s1, b1, rm1, rv1 = BatchNormParams(mid, name="bn1")()
         k2, cb2 = Conv3x3Params(self.out_channels, mid, name="conv2")()
         s2, b2, rm2, rv2 = BatchNormParams(self.out_channels, name="bn2")()
         dt = self.dtype
 
-        if self.conv_kernel == "pallas" and not self.is_initializing():
+        if (self.conv_kernel == "pallas" or self.io != "native") \
+                and not self.is_initializing():
             from ..ops.double_conv import (double_conv_eval,
                                            double_conv_train,
                                            supports_double_conv,
                                            supports_double_conv_eval)
+            xin = jax.tree.map(lambda t: t.astype(dt), x)
+            if self.io != "native":
+                if train:
+                    assert self.axis_name is None, "packed io is gated"
+                    out, m1, v1, m2, v2 = double_conv_train(
+                        xin, k1, cb1, s1, b1, k2, cb2, s2, b2,
+                        _BN_EPS, None, self.io)
+                    self._update_stats(x, rm1, rv1, rm2, rv2,
+                                       m1, v1, m2, v2)
+                    return out
+                return double_conv_eval(
+                    xin, k1, cb1, s1, b1, rm1.value, rv1.value,
+                    k2, cb2, s2, b2, rm2.value, rv2.value, _BN_EPS,
+                    None, self.io)
             # folded variables degenerate to the same affine exactly
             # (scale=1, mean=0, var+eps=1), so eval fusion covers both
             if (not train and supports_double_conv_eval(
@@ -88,13 +132,7 @@ class DoubleConv(nn.Module):
                 out, m1, v1, m2, v2 = double_conv_train(
                     x.astype(dt), k1, cb1, s1, b1, k2, cb2, s2, b2,
                     _BN_EPS, None)
-                n = x.shape[0] * x.shape[1] * x.shape[2]
-                unb = n / max(n - 1, 1)
-                mom = _BN_MOMENTUM
-                rm1.value = (1 - mom) * rm1.value + mom * m1
-                rv1.value = (1 - mom) * rv1.value + mom * (v1 * unb)
-                rm2.value = (1 - mom) * rm2.value + mom * m2
-                rv2.value = (1 - mom) * rv2.value + mom * (v2 * unb)
+                self._update_stats(x, rm1, rv1, rm2, rv2, m1, v1, m2, v2)
                 return out
 
         fuse = self.fused_bn
@@ -119,6 +157,19 @@ class DoubleConv(nn.Module):
         x = bn(conv(x, k2, cb2), s2, b2, rm2, rv2)
         return x if fuse else nn.relu(x)
 
+    @staticmethod
+    def _update_stats(x, rm1, rv1, rm2, rv2, m1, v1, m2, v2):
+        ref = x[0] if isinstance(x, tuple) else x
+        n = ref.shape[0] * ref.shape[1] * ref.shape[2]
+        if isinstance(x, tuple):
+            n *= 2      # packed refs halve W; recover the true pixel count
+        unb = n / max(n - 1, 1)
+        mom = _BN_MOMENTUM
+        rm1.value = (1 - mom) * rm1.value + mom * m1
+        rv1.value = (1 - mom) * rv1.value + mom * (v1 * unb)
+        rm2.value = (1 - mom) * rm2.value + mom * m2
+        rv2.value = (1 - mom) * rv2.value + mom * (v2 * unb)
+
 
 class Down(nn.Module):
     """maxpool2 then DoubleConv (reference ``unet/unet_parts.py:27-38``)."""
@@ -129,10 +180,11 @@ class Down(nn.Module):
     folded: bool = False
     fused_bn: bool = False
     conv_kernel: str = "xla"
+    in_packed: bool = False         # input is width-pair packed (level 1)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = max_pool(x, 2, 2)
+        x = max_pool_packed(x) if self.in_packed else max_pool(x, 2, 2)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           axis_name=self.axis_name, folded=self.folded,
                           fused_bn=self.fused_bn,
@@ -157,6 +209,9 @@ class Deconv2x(nn.Module):
 
     out_channels: int
     dtype: Any = jnp.float32
+    # emit the width-pair-packed (N, 2H, W, 2Cout) form via the Pallas
+    # parity-matmul kernel (ops/deconv_pallas) for the fused level-1 domain
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -165,6 +220,9 @@ class Deconv2x(nn.Module):
         kernel = self.param("kernel", torch_conv_kernel_init,
                             (cin, 2, 2, cout), jnp.float32)
         bias = self.param("bias", torch_bias_init(cin * 4), (cout,), jnp.float32)
+        if self.packed_out:
+            from ..ops.deconv_pallas import deconv2x2_packed
+            return deconv2x2_packed(x.astype(self.dtype), kernel, bias)
         k = kernel.transpose(1, 2, 0, 3)[::-1, ::-1].astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k, window_strides=(1, 1),
@@ -184,10 +242,21 @@ class Up(nn.Module):
     folded: bool = False
     fused_bn: bool = False
     conv_kernel: str = "xla"
+    # fused level-1 packed domain: x2 (skip) arrives packed, the deconv
+    # emits packed, and the DoubleConv runs concat-free on the pair
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_channels = x1.shape[-1]
+        if self.packed_io:
+            assert not self.bilinear
+            x1p = Deconv2x(in_channels // 2, dtype=self.dtype,
+                           packed_out=True, name="up")(x1)
+            return DoubleConv(self.out_channels, dtype=self.dtype,
+                              axis_name=self.axis_name, folded=self.folded,
+                              conv_kernel=self.conv_kernel,
+                              io="dual_packed", name="conv")((x2, x1p), train)
         if self.bilinear:
             x1 = upsample2x_bilinear(x1)
             mid = in_channels  # DoubleConv(mid=in_channels // 2) after concat
@@ -215,13 +284,33 @@ class Up(nn.Module):
 
 
 class OutConv(nn.Module):
-    """1x1 projection head (reference ``unet/unet_parts.py:71-77``)."""
+    """1x1 projection head (reference ``unet/unet_parts.py:71-77``).
+
+    ``in_packed``: the input is width-pair packed (N, H, W/2, 2Cin); the
+    1x1 conv becomes a block-diagonal lane matmul and only the SMALL
+    (2*out_channels-lane) logits pay the unpack reshape — never the
+    64-channel level-1 activation.
+    """
 
     out_channels: int
     dtype: Any = jnp.float32
+    in_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.in_packed:
+            cin = x.shape[-1] // 2
+            k, b = Conv1x1Params(self.out_channels, cin, name="conv")()
+            w2d = k[0, 0].astype(self.dtype)          # (cin, cout)
+            z = jnp.zeros_like(w2d)
+            blk = jnp.concatenate(
+                [jnp.concatenate([w2d, z], 1),
+                 jnp.concatenate([z, w2d], 1)], 0)    # (2cin, 2cout)
+            y = jnp.dot(x.astype(self.dtype), blk,
+                        preferred_element_type=jnp.float32)
+            y = (y + jnp.tile(b, 2)).astype(self.dtype)
+            n, h, w2, co2 = y.shape
+            return y.reshape(n, h, w2 * 2, co2 // 2)
         return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                        kernel_init=torch_conv_kernel_init,
                        bias_init=torch_bias_init(x.shape[-1]), name="conv")(x)
@@ -244,23 +333,54 @@ class UNet(nn.Module):
     fused_bn: bool = False
     conv_kernel: str = "xla"
 
+    def _packed_l1(self, x: jnp.ndarray, train: bool) -> bool:
+        """Run level 1 as a closed width-pair-packed Pallas domain?
+
+        Boundary relayouts are what the packed domain eliminates (round-3
+        profile: ~30 ms per {3,0,2,1}<->row-major transpose on level-1
+        buffers), so it only engages when EVERY piece is supported: the
+        packed DoubleConv kernels (+ wgrad fit in train), the packed
+        deconv, and even spatial dims for the maxpool/deconv pairing.
+        """
+        if self.bilinear or self.is_initializing():
+            return False
+        if self.conv_kernel != "pallas":
+            return False
+        from ..ops.deconv_pallas import supports_deconv_packed
+        from ..ops.double_conv import (supports_double_conv,
+                                       supports_double_conv_eval)
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        if h % 2 or w % 16:
+            return False
+        if not supports_deconv_packed((n, h // 2, w // 2, 128), 64,
+                                      self.dtype):
+            return False
+        if train:
+            return (self.axis_name is None
+                    and supports_double_conv((n, h, w, 64), self.dtype))
+        return supports_double_conv_eval((n, h, w, 64), self.dtype)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(64, dtype=self.dtype, axis_name=self.axis_name,
-                        folded=self.folded, fused_bn=self.fused_bn,
-                        conv_kernel=self.conv_kernel, name="inc")(x, train)
+        packed_l1 = self._packed_l1(x, train)
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
                       folded=self.folded, fused_bn=self.fused_bn,
                       conv_kernel=self.conv_kernel)
-        x2 = Down(128, name="down1", **common)(x1, train)
+        x1 = DoubleConv(64, io="stem_packed" if packed_l1 else "native",
+                        name="inc", **common)(x, train)
+        x2 = Down(128, name="down1", in_packed=packed_l1,
+                  **common)(x1, train)
         x3 = Down(256, name="down2", **common)(x2, train)
         x4 = Down(512, name="down3", **common)(x3, train)
         x_top = Down(1024 // factor, name="down4", **common)(x4, train)
         y = Up(512 // factor, self.bilinear, name="up1", **common)(x_top, x4, train)
         y = Up(256 // factor, self.bilinear, name="up2", **common)(y, x3, train)
         y = Up(128 // factor, self.bilinear, name="up3", **common)(y, x2, train)
-        y = Up(64, self.bilinear, name="up4", **common)(y, x1, train)
-        logits = OutConv(self.mask_classes, dtype=self.dtype, name="outc")(y)
-        uv = OutConv(2, dtype=self.dtype, name="outuv")(y) if self.uv else None
+        y = Up(64, self.bilinear, name="up4", packed_io=packed_l1,
+               **common)(y, x1, train)
+        logits = OutConv(self.mask_classes, dtype=self.dtype,
+                         in_packed=packed_l1, name="outc")(y)
+        uv = (OutConv(2, dtype=self.dtype, in_packed=packed_l1,
+                      name="outuv")(y) if self.uv else None)
         return logits, x_top, uv
