@@ -212,6 +212,9 @@ class Deconv2x(nn.Module):
     # emit the width-pair-packed (N, 2H, W, 2Cout) form via the Pallas
     # parity-matmul kernel (ops/deconv_pallas) for the fused level-1 domain
     packed_out: bool = False
+    # Pallas kernel with NATIVE output — for fused levels whose DoubleConv
+    # consumes the plain layout but must not touch XLA's transposed conv
+    native_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -220,9 +223,10 @@ class Deconv2x(nn.Module):
         kernel = self.param("kernel", torch_conv_kernel_init,
                             (cin, 2, 2, cout), jnp.float32)
         bias = self.param("bias", torch_bias_init(cin * 4), (cout,), jnp.float32)
-        if self.packed_out:
+        if self.packed_out or self.native_pallas:
             from ..ops.deconv_pallas import deconv2x2_packed
-            return deconv2x2_packed(x.astype(self.dtype), kernel, bias)
+            return deconv2x2_packed(x.astype(self.dtype), kernel, bias,
+                                    None, self.native_pallas)
         k = kernel.transpose(1, 2, 0, 3)[::-1, ::-1].astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k, window_strides=(1, 1),
@@ -246,6 +250,33 @@ class Up(nn.Module):
     # emits packed, and the DoubleConv runs concat-free on the pair
     packed_io: bool = False
 
+    def _pallas_deconv(self, x1, x2, train: bool) -> bool:
+        """Use the Pallas native-out deconv when this Up's DoubleConv will
+        fuse — XLA's transposed conv would otherwise pin {3,0,2,1} onto
+        the buffer the fused conv reads row-major (~40 ms relayout on the
+        level-2 boundary, round-3 profile)."""
+        if self.bilinear or self.is_initializing() \
+                or self.conv_kernel != "pallas":
+            return False
+        from ..ops.deconv_pallas import supports_deconv_packed
+        from ..ops.double_conv import (supports_double_conv,
+                                       supports_double_conv_eval)
+        cin = x1.shape[-1]
+        if not supports_deconv_packed(x1.shape, cin // 2, self.dtype):
+            return False
+        n, h, w = x2.shape[0], x2.shape[1], x2.shape[2]
+        if (h, w) != (2 * x1.shape[1], 2 * x1.shape[2]):
+            return False          # skip-alignment pad breaks the pairing
+        shape = (n, h, w, x2.shape[-1] + cin // 2)
+        if train:
+            return (self.axis_name is None
+                    and supports_double_conv(shape, self.dtype,
+                                             self.out_channels,
+                                             self.out_channels))
+        return supports_double_conv_eval(shape, self.dtype,
+                                         self.out_channels,
+                                         self.out_channels)
+
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_channels = x1.shape[-1]
@@ -261,7 +292,9 @@ class Up(nn.Module):
             x1 = upsample2x_bilinear(x1)
             mid = in_channels  # DoubleConv(mid=in_channels // 2) after concat
         else:
-            x1 = Deconv2x(in_channels // 2, dtype=self.dtype, name="up")(x1)
+            x1 = Deconv2x(in_channels // 2, dtype=self.dtype,
+                          native_pallas=self._pallas_deconv(x1, x2, train),
+                          name="up")(x1)
             mid = None
 
         # Align to skip resolution: F.pad([dx//2, dx-dx//2, dy//2, dy-dy//2])

@@ -74,9 +74,10 @@ def _parity_weights(kernel: jnp.ndarray) -> jnp.ndarray:
         .transpose(1, 0, 2).reshape(cin, 4 * cout)
 
 
-def _fwd_call(x, wmat, bias2, th, interpret):
+def _fwd_call(x, wmat, bias2, th, interpret, native_out=False):
     n, hin, win, cin = x.shape
     co2 = wmat.shape[1] // 2
+    co = co2 // 2
     dt = x.dtype
 
     def kernel(x_ref, w_ref, b_ref, y_ref):
@@ -87,8 +88,15 @@ def _fwd_call(x, wmat, bias2, th, interpret):
                      preferred_element_type=jnp.float32) + b_ref[...]
         z = jnp.stack([z0.reshape(th, win, co2),
                        z1.reshape(th, win, co2)], axis=1)   # (th,2,w,2co)
-        y_ref[...] = z.reshape(1, 2 * th, win, co2).astype(y_ref.dtype)
+        if native_out:
+            # unpack the width pairs in VMEM: (.., w, 2co) -> (.., 2w, co)
+            y_ref[...] = z.reshape(1, 2 * th, 2 * win, co).astype(
+                y_ref.dtype)
+        else:
+            y_ref[...] = z.reshape(1, 2 * th, win, co2).astype(y_ref.dtype)
 
+    wout = 2 * win if native_out else win
+    cout_dim = co if native_out else co2
     return pl.pallas_call(
         kernel,
         grid=(n * (hin // th),),
@@ -99,15 +107,15 @@ def _fwd_call(x, wmat, bias2, th, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * th, win, co2),
+        out_specs=pl.BlockSpec((1, 2 * th, wout, cout_dim),
                                lambda i, t=hin // th: (i // t, i % t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 2 * hin, win, co2), dt),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * hin, wout, cout_dim), dt),
         interpret=_interp(interpret),
     )(x, wmat, bias2)
 
 
-def _bwd_call(x, dy, wmat_t, th, cin, interpret):
+def _bwd_call(x, dy, wmat_t, th, cin, interpret, native_dy=False):
     """dx + (dW parity blocks, db rows) in one grid sweep."""
     n, hin, win, _ = x.shape
     co2 = wmat_t.shape[0] // 2          # 2*Cout
@@ -116,6 +124,7 @@ def _bwd_call(x, dy, wmat_t, th, cin, interpret):
     def kernel(x_ref, dy_ref, wt_ref, dx_ref, dw_ref, db_ref):
         i = pl.program_id(0)
         xb = x_ref[0].reshape(th * win, cin)
+        # native dy (1, 2th, 2W, C): merge the width pairs in VMEM
         d = dy_ref[0].reshape(th, 2, win, co2)
         d0 = d[:, 0].reshape(th * win, co2)
         d1 = d[:, 1].reshape(th * win, co2)
@@ -138,6 +147,13 @@ def _bwd_call(x, dy, wmat_t, th, cin, interpret):
                          + jnp.sum(d1.astype(jnp.float32), axis=0))
 
     t = hin // th
+    dy_spec = (pl.BlockSpec((1, 2 * th, 2 * win, co2 // 2),
+                            lambda i: (i // t, i % t, 0, 0),
+                            memory_space=pltpu.VMEM)
+               if native_dy else
+               pl.BlockSpec((1, 2 * th, win, co2),
+                            lambda i: (i // t, i % t, 0, 0),
+                            memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=(n * t,),
@@ -145,9 +161,7 @@ def _bwd_call(x, dy, wmat_t, th, cin, interpret):
             pl.BlockSpec((1, th, win, cin),
                          lambda i: (i // t, i % t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * th, win, co2),
-                         lambda i: (i // t, i % t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            dy_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -168,22 +182,27 @@ def _bwd_call(x, dy, wmat_t, th, cin, interpret):
     )(x, dy, wmat_t)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def deconv2x2_packed(x, kernel, bias, interpret: Optional[bool] = None):
-    """k2s2 transposed conv, width-pair-packed output.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def deconv2x2_packed(x, kernel, bias, interpret: Optional[bool] = None,
+                     native_out: bool = False):
+    """k2s2 transposed conv, width-pair-packed (or native) output.
 
     Args:
       x: (N, Hin, Win, Cin) activation.
       kernel: (Cin, 2, 2, Cout) f32 param (``Deconv2x`` layout).
       bias: (Cout,) f32.
+      native_out: emit the plain (N, 2Hin, 2Win, Cout) result (the width
+        pairs unpack in VMEM) — for consumers outside the packed domain
+        that still must avoid XLA's transposed-conv layout opinions.
     Returns:
       (N, 2*Hin, Win, 2*Cout) packed output — ``unpack_pairs`` of it is
-      exactly the native (N, 2*Hin, 2*Win, Cout) deconv result.
+      exactly the native (N, 2*Hin, 2*Win, Cout) deconv result — or the
+      native form when ``native_out``.
     """
-    return _fwd_impl(x, kernel, bias, interpret)
+    return _fwd_impl(x, kernel, bias, interpret, native_out)
 
 
-def _fwd_impl(x, kernel, bias, interpret):
+def _fwd_impl(x, kernel, bias, interpret, native_out=False):
     cin, _, _, cout = kernel.shape
     dt = x.dtype
     th = _best_th(x.shape[1], x.shape[2], cin, cout,
@@ -191,14 +210,14 @@ def _fwd_impl(x, kernel, bias, interpret):
     assert th, x.shape
     wmat = _parity_weights(kernel).astype(dt)
     bias2 = jnp.tile(bias, 2).astype(jnp.float32).reshape(1, 2 * cout)
-    return _fwd_call(x, wmat, bias2, th, interpret)
+    return _fwd_call(x, wmat, bias2, th, interpret, native_out)
 
 
-def _fwd_vjp(x, kernel, bias, interpret):
-    return _fwd_impl(x, kernel, bias, interpret), (x, kernel)
+def _fwd_vjp(x, kernel, bias, interpret, native_out):
+    return _fwd_impl(x, kernel, bias, interpret, native_out), (x, kernel)
 
 
-def _bwd_vjp(interpret, res, dy):
+def _bwd_vjp(interpret, native_out, res, dy):
     x, kernel = res
     cin, _, _, cout = kernel.shape
     dt = x.dtype
@@ -207,7 +226,10 @@ def _bwd_vjp(interpret, res, dy):
     # (2*2Cout, Cin): rows [p=0 | p=1] of the parity weights, transposed
     wmat_t = _parity_weights(kernel).astype(dt).reshape(
         cin, 2, 2 * cout).transpose(1, 2, 0).reshape(4 * cout, cin)
-    dx, dwp, dbp = _bwd_call(x, dy, wmat_t, th, cin, interpret)
+    # a native cotangent merges its width pairs inside the kernel — never
+    # a 64<->128-lane XLA reshape
+    dx, dwp, dbp = _bwd_call(x, dy, wmat_t, th, cin, interpret,
+                             native_dy=native_out)
     # (2*Cin, 2Cout) parity blocks -> (Cin, 2, 2, Cout)
     dk = dwp.reshape(2, cin, 2, cout).transpose(1, 0, 2, 3)
     db = dbp[0, :cout] + dbp[0, cout:]

@@ -60,3 +60,26 @@ def test_gradients_match_xla():
 def test_supports():
     assert supports_deconv_packed((26, 180, 320, 128), 64, jnp.bfloat16)
     assert not supports_deconv_packed((26, 180, 321, 128), 64, jnp.bfloat16)
+
+
+def test_native_out_forward_and_grads():
+    x, k, b = _data()
+    yn = deconv2x2_packed(x, k, b, True, True)
+    ref = xla_deconv(x, k, b)
+    assert yn.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(yn), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    rng = np.random.RandomState(2)
+    cot = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+
+    def loss_p(x, k, b):
+        return jnp.sum(deconv2x2_packed(x, k, b, True, True) * cot)
+
+    def loss_r(x, k, b):
+        return jnp.sum(xla_deconv(x, k, b) * cot)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, k, b)
+    for a, r, tag in zip(gp, gr, ("dx", "dk", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-3, err_msg=tag)
