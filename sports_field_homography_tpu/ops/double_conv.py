@@ -160,17 +160,21 @@ def _stem_block_weights(k1):
 def _stem_pair_dot(x, k1, b1, dt):
     """Stem conv as a pair-packed XLA dot: y1 PACKED (N,H,W/2,2Mid) + stat
     sums.  Dots keep row-major layouts (unlike XLA convs, which would pin
-    ``{3,0,2,1}`` onto the shared level-1 buffers)."""
+    ``{3,0,2,1}`` onto the shared level-1 buffers).  The dot emits the
+    compute dtype directly (MXU still accumulates f32 internally) — a
+    materialized f32 level-1 buffer costs ~750 MB of transient HBM, which
+    was exactly the margin that OOM'd the levels-1-2 fused step."""
     n, h, w, _ = x.shape
     mid = k1.shape[-1]
     pairs = _stem_pairs(x).astype(dt)
     k2d = pairs.shape[-1]
-    yf = jnp.dot(pairs.reshape(-1, k2d), _stem_block_weights(k1).astype(dt),
-                 preferred_element_type=jnp.float32)
-    yf = yf + tile_pair(b1)
+    y = jnp.dot(pairs.reshape(-1, k2d), _stem_block_weights(k1).astype(dt),
+                preferred_element_type=dt)
+    y = y + tile_pair(b1).astype(dt)
+    yf = y.astype(jnp.float32)
     sums = fold_pair_sums(
         jnp.stack([jnp.sum(yf, 0), jnp.sum(yf * yf, 0)]), mid)
-    return yf.astype(dt).reshape(n, h, w // 2, 2 * mid), sums
+    return y.reshape(n, h, w // 2, 2 * mid), sums
 
 
 def _stats_xla(y, c):

@@ -22,12 +22,16 @@ COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
 COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
 
 
-def _child_env():
+def _child_env(tmp):
     env = dict(os.environ)
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f)
     env["SFH_JAX_PLATFORM"] = "cpu"
+    # isolate the persistent compile cache: the repo's .jax_cache may hold
+    # CPU AOT entries compiled on a different host type (observed SIGILL-
+    # class loader warnings -> crashed subprocess -> barrier mismatch)
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp)
     return env
 
 
@@ -106,13 +110,17 @@ def test_two_host_predict_matches_single(workspace, tmp_path):
             [sys.executable, "predict.py"] + _argv(workspace, mh_dst, [
                 "--coordinator", f"127.0.0.1:{port}",
                 "--num_hosts", "2", "--host_id", str(i)]),
-            cwd="/root/repo", env=_child_env(), stdout=subprocess.PIPE,
+            cwd="/root/repo", env=_child_env(tmp_path / "cache"),
+            stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
+    outs = []
     for p in procs:
         out, _ = p.communicate(timeout=900)
-        assert p.returncode == 0, out[-4000:]
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n=== host outputs ===\n".join(o[-3000:] for o in outs)
 
     merged = json.load(open(mh_dst / "frames_court.json"))
     assert set(merged) == set(single)
