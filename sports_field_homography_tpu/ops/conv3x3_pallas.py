@@ -152,8 +152,11 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
             prologue: Optional[Tuple] = None,
             stats: bool = False, th: Optional[int] = None,
             mode: str = "im2col", out_dtype=None,
-            interpret: Optional[bool] = None):
-    """y = conv3x3(relu_bn?(x), W) + b, with optional output stat sums.
+            interpret: Optional[bool] = None,
+            x2: Optional[jnp.ndarray] = None,
+            wmat2: Optional[jnp.ndarray] = None):
+    """y = conv3x3(relu_bn?(x), W) [+ conv3x3(x2, W2)] + b, with optional
+    output stat sums.
 
     Args:
       x: (N, H, W, Cin) bf16/f32 activation (unpadded; padding is internal).
@@ -162,6 +165,9 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
       prologue: optional (mean, inv, beta) per-channel f32 vectors; applies
         train-mode BN+ReLU to x inside the kernel (inv = gamma * rstd).
       stats: also return (2, Cout) f32 [sum(y), sum(y*y)] over N*H*W.
+      x2/wmat2: optional second input/weights accumulated into the same
+        output — the concat-free decoder conv (conv(concat(a,b)) ==
+        conv(a,Wa)+conv(b,Wb)) in ONE kernel pass.
     Returns:
       y (N, H, W, Cout) — or (y, sums) when ``stats``.
     """
@@ -169,18 +175,25 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
     cout = wmat.shape[1]
     assert wmat.shape[0] == 9 * cin, (wmat.shape, cin)
     dtype = out_dtype or x.dtype
-    th = th or best_th(h, w, cin, cout, jnp.dtype(x.dtype).itemsize, mode)
+    cin2 = 0 if x2 is None else x2.shape[-1]
+    th = th or best_th(h, w, cin + cin2, cout,
+                       jnp.dtype(x.dtype).itemsize, mode)
     assert th and h % th == 0, (h, th)
     tiles_h = h // th
 
     have_bias = bias is not None
     have_pro = prologue is not None
+    have_x2 = x2 is not None
 
     def kernel(*refs):
         i = pl.program_id(0)
         it = 0
         x_ref = refs[it]; it += 1
         w_ref = refs[it]; it += 1
+        x2_ref = w2_ref = None
+        if have_x2:
+            x2_ref = refs[it]; it += 1
+            w2_ref = refs[it]; it += 1
         b_ref = None
         if have_bias:
             b_ref = refs[it]; it += 1
@@ -198,11 +211,20 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
             patch = jnp.concatenate(_taps(xblk, th, w, cin), axis=-1)
             acc = jnp.dot(patch, w_ref[...],
                           preferred_element_type=jnp.float32)
+            if have_x2:
+                patch2 = jnp.concatenate(_taps(x2_ref[0], th, w, cin2),
+                                         axis=-1)
+                acc += jnp.dot(patch2, w2_ref[...],
+                               preferred_element_type=jnp.float32)
         else:
             acc = jnp.zeros((th * w, cout), jnp.float32)
             for t, sl in enumerate(_taps(xblk, th, w, cin)):
                 acc += jnp.dot(sl, w_ref[pl.ds(t * cin, cin), :],
                                preferred_element_type=jnp.float32)
+            if have_x2:
+                for t, sl in enumerate(_taps(x2_ref[0], th, w, cin2)):
+                    acc += jnp.dot(sl, w2_ref[pl.ds(t * cin2, cin2), :],
+                                   preferred_element_type=jnp.float32)
         if have_bias:
             acc = acc + b_ref[...]
         y_ref[...] = acc.reshape(1, th, w, cout).astype(y_ref.dtype)
@@ -213,14 +235,19 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
             s_ref[0, :] += jnp.sum(acc, axis=0)
             s_ref[1, :] += jnp.sum(acc * acc, axis=0)
 
-    in_specs = [
-        pl.BlockSpec((pl.Element(1), pl.Element(th + 2), pl.Element(w + 8),
-                      pl.Element(cin)),
-                     lambda i: (i // tiles_h, (i % tiles_h) * th, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-    ]
+    def win_spec(c):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(th + 2), pl.Element(w + 8),
+             pl.Element(c)),
+            lambda i: (i // tiles_h, (i % tiles_h) * th, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [win_spec(cin), pl.BlockSpec(memory_space=pltpu.VMEM)]
     args = [_pad_input(x), wmat]
+    if have_x2:
+        assert wmat2 is not None and wmat2.shape == (9 * cin2, cout)
+        in_specs += [win_spec(cin2), pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args += [_pad_input(x2), wmat2]
     if have_bias:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32).reshape(1, cout))

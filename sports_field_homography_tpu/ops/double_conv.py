@@ -177,14 +177,6 @@ def _stem_pair_dot(x, k1, b1, dt):
     return y.reshape(n, h, w // 2, 2 * mid), sums
 
 
-def _stats_xla(y, c):
-    """Per-channel (sum, sumsq) of a PACKED activation via one XLA pass."""
-    yf = y.astype(jnp.float32)
-    return fold_pair_sums(
-        jnp.stack([jnp.sum(yf, (0, 1, 2)),
-                   jnp.sum(yf * yf, (0, 1, 2))]), c)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def double_conv_train(x, k1, b1, g1, be1, k2, b2, g2, be2,
                       eps: float = 1e-5, interpret: Optional[bool] = None,
@@ -231,11 +223,11 @@ def _conv1_fwd(x, k1, b1, k2, dt, io, interpret):
     if io == "dual_packed":
         xa, xb = x
         ca = xa.shape[-1] // 2
-        y1 = conv3x3(xa, pack_pair_weights(k1[:, :, :ca]).astype(dt),
-                     tile_pair(b1), interpret=interpret)
-        y1 = y1 + conv3x3(xb, pack_pair_weights(k1[:, :, ca:]).astype(dt),
-                          interpret=interpret)
-        return x, y1, _stats_xla(y1, mid), True
+        y1, s1 = conv3x3(xa, pack_pair_weights(k1[:, :, :ca]).astype(dt),
+                         tile_pair(b1), stats=True, interpret=interpret,
+                         x2=xb,
+                         wmat2=pack_pair_weights(k1[:, :, ca:]).astype(dt))
+        return x, y1, fold_pair_sums(s1, mid), True
     # io == "native"
     cin = x.shape[-1]
     packed = _use_packed(x, k1, k2)
@@ -464,9 +456,8 @@ def double_conv_eval(x, k1, b1, g1, be1, rm1, rv1, k2, b2, g2, be2,
         xa, xb = x
         ca = xa.shape[-1] // 2
         y1 = conv3x3(xa, pack_pair_weights(k1[:, :, :ca]).astype(dt),
-                     tile_pair(b1), interpret=interpret)
-        y1 = y1 + conv3x3(xb, pack_pair_weights(k1[:, :, ca:]).astype(dt),
-                          interpret=interpret)
+                     tile_pair(b1), interpret=interpret, x2=xb,
+                     wmat2=pack_pair_weights(k1[:, :, ca:]).astype(dt))
         packed = True
     else:
         cin = x.shape[-1]
