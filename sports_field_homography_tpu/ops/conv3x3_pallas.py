@@ -146,7 +146,8 @@ def _taps(xblk, th, w, cin):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stats", "th", "mode", "out_dtype", "interpret"))
+    static_argnames=("stats", "th", "mode", "out_dtype", "interpret",
+                     "pre_padded"))
 def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
             bias: Optional[jnp.ndarray] = None,
             prologue: Optional[Tuple] = None,
@@ -154,7 +155,8 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
             mode: str = "im2col", out_dtype=None,
             interpret: Optional[bool] = None,
             x2: Optional[jnp.ndarray] = None,
-            wmat2: Optional[jnp.ndarray] = None):
+            wmat2: Optional[jnp.ndarray] = None,
+            pre_padded: bool = False):
     """y = conv3x3(relu_bn?(x), W) [+ conv3x3(x2, W2)] + b, with optional
     output stat sums.
 
@@ -172,6 +174,8 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
       y (N, H, W, Cout) — or (y, sums) when ``stats``.
     """
     n, h, w, cin = x.shape
+    if pre_padded:                # x arrives (N, H+2, W+8, C)
+        h, w = h - 2, w - 8
     cout = wmat.shape[1]
     assert wmat.shape[0] == 9 * cin, (wmat.shape, cin)
     dtype = out_dtype or x.dtype
@@ -243,7 +247,7 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
             memory_space=pltpu.VMEM)
 
     in_specs = [win_spec(cin), pl.BlockSpec(memory_space=pltpu.VMEM)]
-    args = [_pad_input(x), wmat]
+    args = [x if pre_padded else _pad_input(x), wmat]
     if have_x2:
         assert wmat2 is not None and wmat2.shape == (9 * cin2, cout)
         in_specs += [win_spec(cin2), pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -279,11 +283,13 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "interpret",
+                                             "pre_padded"))
 def wgrad3x3(x: jnp.ndarray, dy: jnp.ndarray,
              prologue: Optional[Tuple] = None,
              th: Optional[int] = None,
-             interpret: Optional[bool] = None):
+             interpret: Optional[bool] = None,
+             pre_padded: bool = False):
     """Weight/bias gradients: dW[(ky,kx,ci), co] = sum patches(x)^T dy.
 
     Args:
@@ -295,6 +301,8 @@ def wgrad3x3(x: jnp.ndarray, dy: jnp.ndarray,
       (dW (9*Cin, Cout) f32, db (Cout,) f32)
     """
     n, h, w, cin = x.shape
+    if pre_padded:                # x arrives (N, H+2, W+8, C)
+        h, w = h - 2, w - 8
     cout = dy.shape[-1]
     th = th or best_th(h, w, cin, cout, jnp.dtype(x.dtype).itemsize, "dot9")
     assert th and h % th == 0, (h, th)
@@ -337,7 +345,7 @@ def wgrad3x3(x: jnp.ndarray, dy: jnp.ndarray,
                      lambda i: (i // tiles_h, i % tiles_h, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [_pad_input(x), dy]
+    args = [x if pre_padded else _pad_input(x), dy]
     if have_pro:
         mean, inv, beta = prologue
         for v in (mean, inv, beta):

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .conv3x3_pallas import (
+    _pad_input,
     conv3x3,
     dgrad_pair_weights,
     dgrad_weights,
@@ -261,6 +262,8 @@ def _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret, io):
     dt = (x[0] if isinstance(x, tuple) else x).dtype
 
     xk, y1, s1, packed = _conv1_fwd(x, k1, b1, k2, dt, io, interpret)
+    # pad once; conv2 (fwd) and wgrad2 (bwd) share the padded residual
+    y1 = _pad_input(y1)
     mean1, var1, rstd1 = _finalize_stats(s1, m, eps)
     inv1 = rstd1 * g1
     if packed:
@@ -268,12 +271,12 @@ def _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret, io):
                          tile_pair(b2),
                          prologue=(tile_pair(mean1), tile_pair(inv1),
                                    tile_pair(be1)),
-                         stats=True, interpret=interpret)
+                         stats=True, interpret=interpret, pre_padded=True)
         s2 = fold_pair_sums(s2, cout)
     else:
         y2, s2 = conv3x3(y1, pack_weights(k2).astype(dt), b2,
                          prologue=(mean1, inv1, be1), stats=True,
-                         interpret=interpret)
+                         interpret=interpret, pre_padded=True)
     mean2, var2, rstd2 = _finalize_stats(s2, m, eps)
     y2f = y2.astype(jnp.float32)
     inv2 = rstd2 * g2
@@ -363,10 +366,12 @@ def _bwd_vjp(eps, interpret, io, res, cots):
                                         packed=packed)
 
     # conv2 backward: z1 = relu(bn1(y1)) recomputed in the wgrad prologue
+    # (y1 is the PADDED residual shared with the forward's conv2)
     inv1 = rstd1 * g1
     pro1 = ((tile_pair(mean1), tile_pair(inv1), tile_pair(be1)) if packed
             else (mean1, inv1, be1))
-    dw2, db2 = wgrad3x3(y1, dy2, prologue=pro1, interpret=interpret)
+    dw2, db2 = wgrad3x3(y1, dy2, prologue=pro1, interpret=interpret,
+                        pre_padded=True)
     if packed:
         dk2 = fold_pair_wgrad(dw2, mid, cout)
         db2 = fold_pair_sums(db2[None], cout)[0]
@@ -377,8 +382,10 @@ def _bwd_vjp(eps, interpret, io, res, cots):
         dz1 = conv3x3(dy2, dgrad_weights(k2).astype(dt),
                       interpret=interpret)
 
-    # BN1 + ReLU backward (z1 = relu(bn1(y1)))
-    dy1, dgamma1, dbeta1 = _bn_relu_bwd(y1, dz1, mean1, rstd1, g1, be1, m,
+    # BN1 + ReLU backward (z1 = relu(bn1(y1))) — the interior slice of
+    # the padded residual fuses into the elementwise pass (no copy)
+    y1i = y1[:, 1:y1.shape[1] - 1, 1:dz1.shape[2] + 1, :]
+    dy1, dgamma1, dbeta1 = _bn_relu_bwd(y1i, dz1, mean1, rstd1, g1, be1, m,
                                         packed=packed)
 
     # conv1 backward
