@@ -31,8 +31,12 @@ def main(log_dir):
                 continue
             for ev in line.events:
                 name = ev_names[ev.metadata_id].name
-                # fold op instance suffixes together
-                key = name.split(" = ")[-1].split("(")[0][:70] or name[:70]
+                # keep the op kind (%copy/%transpose/%fusion) AND the
+                # result type so relayouts are attributable
+                lhs, _, rhs = name.partition(" = ")
+                kind = lhs.split(".")[0] if lhs.startswith("%") else ""
+                key = (kind + " " + rhs.split("(")[0][:70]) if rhs \
+                    else name[:70]
                 agg[key] += ev.duration_ps
         total = sum(agg.values())
         print(f"== {plane.name} (XLA Ops line; async spans overlap) ==")

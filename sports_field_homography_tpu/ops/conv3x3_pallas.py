@@ -251,7 +251,7 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
     if have_x2:
         assert wmat2 is not None and wmat2.shape == (9 * cin2, cout)
         in_specs += [win_spec(cin2), pl.BlockSpec(memory_space=pltpu.VMEM)]
-        args += [_pad_input(x2), wmat2]
+        args += [x2 if pre_padded else _pad_input(x2), wmat2]
     if have_bias:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32).reshape(1, cout))

@@ -104,23 +104,46 @@ def _finalize_stats(sums, m, eps):
     return mean, var, rstd
 
 
-def _bn_relu_bwd(y, g, mean, rstd, gamma, beta, m, packed=False):
+def _bn_relu_bwd(y, g, mean, rstd, gamma, beta, m, packed=False,
+                 interpret=None):
     """Backward of relu(bn_train(y)) given output cotangent g.
 
-    Returns (dy, dgamma, dbeta).  XLA elementwise + reductions — all on
-    row-major buffers (no conv ops, so no layout coercion).  ``packed``:
-    y/g are width-pair packed (2C lanes); the per-channel vectors are
-    tiled in and the stat grads folded back out.
+    Returns (dy, dgamma, dbeta).  ``packed``: y/g are width-pair packed
+    (2C lanes); the per-channel vectors are tiled in and the stat grads
+    folded back out.
+
+    Runs on the bn_pallas reduce/dx kernels over the FREE row-major 2D
+    view (N*H*W', L) whenever the lane dim is tile-full — the XLA
+    elementwise+reduce formulation measured ~78 ms/step across the fused
+    step's BatchNorm backwards (profile, round 3); the kernels stream the
+    same bytes at full lanes with no layout games.
     """
+    from .bn_pallas import _bwd_reduce_kernel, _dx_kernel, _grid_call
+    from .bn_pallas import _block_rows
+
     c = mean.shape[0]
     if packed:
         mean, rstd, gamma, beta = map(tile_pair, (mean, rstd, gamma, beta))
-    yf = y.astype(jnp.float32)
-    xhat = (yf - mean) * rstd
-    pre = xhat * gamma + beta
-    dyp = jnp.where(pre > 0, g.astype(jnp.float32), 0.0)
-    dbeta_l = jnp.sum(dyp, (0, 1, 2))
-    dgamma_l = jnp.sum(dyp * xhat, (0, 1, 2))
+    ll = y.shape[-1]
+    rows = y.shape[0] * y.shape[1] * y.shape[2]
+    use_kernels = (ll % 128 == 0
+                   and _block_rows(rows, ll, jnp.dtype(y.dtype).itemsize) > 0)
+    if use_kernels:
+        itp = jax.default_backend() != "tpu" if interpret is None \
+            else interpret
+        y2 = y.reshape(rows, ll)
+        g2 = g.reshape(rows, ll)
+        vecs = [v.reshape(1, ll).astype(jnp.float32)
+                for v in (mean, rstd, gamma, beta)]
+        sums = _grid_call(_bwd_reduce_kernel, [y2, g2], vecs, (8, ll), itp)
+        dbeta_l, dgamma_l = sums[0], sums[1]
+    else:
+        yf = y.astype(jnp.float32)
+        xhat = (yf - mean) * rstd
+        pre = xhat * gamma + beta
+        dyp = jnp.where(pre > 0, g.astype(jnp.float32), 0.0)
+        dbeta_l = jnp.sum(dyp, (0, 1, 2))
+        dgamma_l = jnp.sum(dyp * xhat, (0, 1, 2))
     if packed:
         dbeta = fold_pair_sums(dbeta_l[None], c)[0]
         dgamma = fold_pair_sums(dgamma_l[None], c)[0]
@@ -128,7 +151,16 @@ def _bn_relu_bwd(y, g, mean, rstd, gamma, beta, m, packed=False):
     else:
         dbeta, dgamma = dbeta_l, dgamma_l
         mb, mg = dbeta / m, dgamma / m
-    dy = (gamma * rstd) * (dyp - mb - xhat * mg)
+    if use_kernels:
+        c1 = gamma * rstd
+        dy2 = _grid_call(
+            _dx_kernel, [y2, g2],
+            vecs + [v.reshape(1, ll).astype(jnp.float32)
+                    for v in (c1, mb, mg)],
+            (rows, ll), itp)
+        dy = dy2.reshape(y.shape)
+    else:
+        dy = ((gamma * rstd) * (dyp - mb - xhat * mg)).astype(y.dtype)
     return dy.astype(y.dtype), dgamma, dbeta
 
 
@@ -224,24 +256,35 @@ def _conv1_fwd(x, k1, b1, k2, dt, io, interpret):
     if io == "dual_packed":
         xa, xb = x
         ca = xa.shape[-1] // 2
-        y1, s1 = conv3x3(xa, pack_pair_weights(k1[:, :, :ca]).astype(dt),
+        # pad once; the padded pair is ALSO the residual (the unpadded
+        # deconv/skip buffers can then die after the pad instead of being
+        # carried to the backward - the OOM dump showed both forms of both
+        # inputs alive around this conv)
+        xap, xbp = _pad_input(xa), _pad_input(xb)
+        y1, s1 = conv3x3(xap, pack_pair_weights(k1[:, :, :ca]).astype(dt),
                          tile_pair(b1), stats=True, interpret=interpret,
-                         x2=xb,
-                         wmat2=pack_pair_weights(k1[:, :, ca:]).astype(dt))
-        return x, y1, fold_pair_sums(s1, mid), True
+                         x2=xbp,
+                         wmat2=pack_pair_weights(k1[:, :, ca:]).astype(dt),
+                         pre_padded=True)
+        return (xap, xbp), y1, fold_pair_sums(s1, mid), True
     # io == "native"
     cin = x.shape[-1]
     packed = _use_packed(x, k1, k2)
     if packed and cin == 64:
-        xk = pack_pairs(x)
+        xk = _pad_input(pack_pairs(x))
         y1, s1 = conv3x3(xk, pack_pair_weights(k1).astype(dt),
-                         tile_pair(b1), stats=True, interpret=interpret)
+                         tile_pair(b1), stats=True, interpret=interpret,
+                         pre_padded=True)
         return xk, y1, fold_pair_sums(s1, mid), True
     if supports_conv3x3(x.shape, dt):
-        y1, s1 = conv3x3(x, pack_weights(k1).astype(dt), b1,
-                         stats=True, interpret=interpret)
-    else:  # 3-channel stem, native out
-        y1, s1 = _xla_conv_stats(x, k1, b1)
+        xk = _pad_input(x)
+        y1, s1 = conv3x3(xk, pack_weights(k1).astype(dt), b1,
+                         stats=True, interpret=interpret, pre_padded=True)
+        if packed:
+            y1 = pack_pairs(y1)
+        return xk, y1, s1, packed
+    # 3-channel stem, native out
+    y1, s1 = _xla_conv_stats(x, k1, b1)
     if packed:
         y1 = pack_pairs(y1)
     return x, y1, s1, packed
@@ -325,18 +368,19 @@ def _conv1_bwd(xk, dy1, k1, dt, io, interpret):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return dx, dk1, db1
     if io == "dual_packed":
-        xa, xb = xk
+        xa, xb = xk                       # PADDED residuals
         ca = xa.shape[-1] // 2
         k1a, k1b = k1[:, :, :ca], k1[:, :, ca:]
-        dwa, dba = wgrad3x3(xa, dy1, interpret=interpret)
-        dwb, _ = wgrad3x3(xb, dy1, interpret=interpret)
+        dwa, dba = wgrad3x3(xa, dy1, interpret=interpret, pre_padded=True)
+        dwb, _ = wgrad3x3(xb, dy1, interpret=interpret, pre_padded=True)
         dk1 = jnp.concatenate([fold_pair_wgrad(dwa, ca, mid),
                                fold_pair_wgrad(dwb, cin - ca, mid)], axis=2)
         db1 = fold_pair_sums(dba[None], mid)[0]
-        dxa = conv3x3(dy1, dgrad_pair_weights(k1a).astype(dt),
-                      interpret=interpret)
-        dxb = conv3x3(dy1, dgrad_pair_weights(k1b).astype(dt),
-                      interpret=interpret)
+        dy1p = _pad_input(dy1)            # shared by both dgrads
+        dxa = conv3x3(dy1p, dgrad_pair_weights(k1a).astype(dt),
+                      interpret=interpret, pre_padded=True)
+        dxb = conv3x3(dy1p, dgrad_pair_weights(k1b).astype(dt),
+                      interpret=interpret, pre_padded=True)
         return (dxa, dxb), dk1, db1
     raise AssertionError(io)
 
@@ -347,18 +391,18 @@ def _bwd_vjp(eps, interpret, io, res, cots):
      k1, g1, be1, k2, g2, be2) = res
     cin = k1.shape[2]
     mid, cout = k1.shape[-1], k2.shape[-1]
+    packed = y1.shape[-1] == 2 * mid      # residuals carry the layout
+    # y1 residual is PADDED (N, H+2, W'+8, L): recover the true dims
+    n, h = y1.shape[0], y1.shape[1] - 2
+    wp = y1.shape[2] - 8
+    w = wp * 2 if packed else wp
     if io == "dual_packed":
-        ref = xk[0]
-        n, h, w = ref.shape[0], ref.shape[1], ref.shape[2] * 2
         packed_x = True
     else:
-        n, h = xk.shape[0], xk.shape[1]
         packed_x = xk.shape[-1] == 2 * cin and io != "stem_packed"
-        w = xk.shape[2] * 2 if packed_x else xk.shape[2]
     x_shape = (n, h, w, cin)
     m = n * h * w
     dt = (xk[0] if isinstance(xk, tuple) else xk).dtype
-    packed = y1.shape[-1] == 2 * mid      # residuals carry the layout
 
     # BN2 + ReLU backward (out = relu(bn2(y2)))
     gk = pack_pairs(g) if (packed and io == "native") else g
@@ -391,8 +435,8 @@ def _bwd_vjp(eps, interpret, io, res, cots):
     # conv1 backward
     if io != "native":
         dx, dk1, db1 = _conv1_bwd(xk, dy1, k1, dt, io, interpret)
-    elif packed and packed_x:             # xk is the packed input view
-        dw1, db1 = wgrad3x3(xk, dy1, interpret=interpret)
+    elif packed and packed_x:             # xk is the PADDED packed view
+        dw1, db1 = wgrad3x3(xk, dy1, interpret=interpret, pre_padded=True)
         dk1 = fold_pair_wgrad(dw1, cin, mid)
         db1 = fold_pair_sums(db1[None], mid)[0]
         dx = unpack_pairs(conv3x3(dy1, dgrad_pair_weights(k1).astype(dt),
@@ -400,7 +444,8 @@ def _bwd_vjp(eps, interpret, io, res, cots):
     else:
         dy1u = unpack_pairs(dy1) if packed else dy1
         if supports_conv3x3(x_shape, dt):
-            dw1, db1 = wgrad3x3(xk, dy1u, interpret=interpret)
+            dw1, db1 = wgrad3x3(xk, dy1u, interpret=interpret,
+                                pre_padded=True)
             dk1 = dw1.reshape(k1.shape)
             dx = conv3x3(dy1u, dgrad_weights(k1).astype(dt),
                          interpret=interpret)
