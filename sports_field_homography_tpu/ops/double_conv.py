@@ -64,9 +64,12 @@ __all__ = ["double_conv_train", "double_conv_eval", "supports_double_conv",
 # (level-1 @640x360 model = 230,400 px; level-2 = 57,600; level-3 =
 # 14,400).  Eval fuses every supported level (no residuals).  Lower it
 # (e.g. to 50_000) to fuse level 2 as well once HBM headroom allows.
-# 14_400 fuses level 3 too (its wgrad accumulators fit; the level-3
-# boundary transpose measured 34.5 ms when level 3 stayed on XLA).
-_TRAIN_MIN_PIXELS = 14_400
+# Measured @b26 (BASELINE.md round-3 table): level-1-only = the best
+# fused configuration; levels 1-2 and 1-3 lose ~3 img/s each — the
+# level-N/N+1 boundary relayout does not shrink with buffer size, so
+# pushing the domain deeper trades a ~35 ms boundary for equal-or-worse
+# kernel+boundary costs below it.
+_TRAIN_MIN_PIXELS = 200_000
 
 
 def supports_double_conv(shape, dtype, mid: int = 64,

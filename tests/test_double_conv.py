@@ -104,8 +104,9 @@ def test_supports():
     assert supports_double_conv((26, 360, 640, 64), jnp.bfloat16)
     assert supports_double_conv((26, 360, 640, 3), jnp.bfloat16)
     assert not supports_double_conv((2, 7, 18, 64), jnp.float32)
-    # level-3 now fuses in train mode; level-4 (3,600 px) stays on XLA
-    assert supports_double_conv((26, 90, 160, 128), jnp.bfloat16, 256, 256)
+    # the measured-best train gate fuses level 1 only (BASELINE round 3)
+    assert not supports_double_conv((26, 180, 320, 64), jnp.bfloat16,
+                                    128, 128)
     assert not supports_double_conv((26, 45, 80, 256), jnp.bfloat16,
                                     512, 512)
     from sports_field_homography_tpu.ops.double_conv import (
