@@ -9,8 +9,12 @@
 # full-set reprojection error is below $MAX_PX.
 #
 # Usage: scripts/nightly_convergence.sh [workdir] [epochs] [max_px]
-#   quick smoke:   scripts/nightly_convergence.sh /tmp/sfh_nightly 2 25
+#   quick smoke:   scripts/nightly_convergence.sh /tmp/sfh_nightly 2 60
 #   full nightly:  scripts/nightly_convergence.sh /tmp/sfh_nightly 30 4
+# Calibration (full-1024-set reprojection px from test.py sweeps):
+# epoch 2 ~45, epoch 8 ~13.6, epoch 16 ~16.8, epoch 30 ~3.9 — the smoke
+# threshold 60 proves the pipeline learns (degenerate runs sit at ~6000);
+# the 30-epoch threshold 4 tracks the round-2 converged result.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
