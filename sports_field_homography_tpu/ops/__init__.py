@@ -6,3 +6,19 @@ from .interval_warp import (
     warp_bilinear_interval,
 )
 from .fold_bn import fold_batchnorm
+from .conv3x3_pallas import (
+    conv3x3,
+    wgrad3x3,
+    pack_weights,
+    pack_pairs,
+    unpack_pairs,
+    supports_conv3x3,
+    supports_packed,
+)
+from .double_conv import (
+    double_conv_train,
+    double_conv_eval,
+    supports_double_conv,
+    supports_double_conv_eval,
+)
+from .deconv_pallas import deconv2x2_packed, supports_deconv_packed

@@ -170,6 +170,9 @@ def conv3x3(x: jnp.ndarray, wmat: jnp.ndarray,
       x2/wmat2: optional second input/weights accumulated into the same
         output — the concat-free decoder conv (conv(concat(a,b)) ==
         conv(a,Wa)+conv(b,Wb)) in ONE kernel pass.
+      pre_padded: x (and x2) already carry the (H+2, W+8) zero border
+        (``_pad_input``) — callers that reuse one padded buffer across
+        the forward conv and the backward wgrad skip the extra pad pass.
     Returns:
       y (N, H, W, Cout) — or (y, sums) when ``stats``.
     """

@@ -299,11 +299,10 @@ def _fwd_impl(x, k1, b1, g1, be1, k2, b2, g2, be2, eps, interpret, io):
     mid, cout = k1.shape[-1], k2.shape[-1]
     if io != "native":
         assert mid == 64 and cout == 64, (io, mid, cout)
+        # stem input is native; dual inputs are packed (W halved)
         ref = x[0] if io == "dual_packed" else x
         n, h = ref.shape[0], ref.shape[1]
-        w = ref.shape[2] * (2 if io == "dual_packed" else 1)
-        if io == "stem_packed":
-            w = ref.shape[2]
+        w = ref.shape[2] * 2 if io == "dual_packed" else ref.shape[2]
     else:
         n, h, w = x.shape[0], x.shape[1], x.shape[2]
     m = n * h * w
