@@ -261,10 +261,16 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                                 axis_name="data", with_grads=True),
                 mesh, n_outputs=3)
     else:
-        step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))
+        # donate the input state: params/opt-state buffers are reused
+        # in place instead of copied every step (~400 MB of f32 state);
+        # the loop always rebinds `state` to the step's output, and the
+        # SIGTERM holder stores that new (live) state
+        step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg),
+                          donate_argnums=(0,))
         if writer is not None:
             step_grads_fn = jax.jit(
-                make_train_step(model, optimizer, loss_cfg, with_grads=True))
+                make_train_step(model, optimizer, loss_cfg, with_grads=True),
+                donate_argnums=(0,))
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
 
