@@ -26,17 +26,23 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
+def timeit(fn, iters=10):
+    """fn: zero-arg callable returning device arrays (jitted ONCE by the
+    caller).  Syncs with a scalar host fetch (CLAUDE.md trap)."""
+    out = fn()
     jax.block_until_ready(out)
+
+    def sync(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        float(jnp.sum(leaf))
+
     best = 1e9
-    leaf = jax.tree_util.tree_leaves(out)[0]
     for _ in range(2):
-        float(jnp.sum(jax.tree_util.tree_leaves(fn(*args))[0][:1, :1]))
+        sync(fn())
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0][:1, :1]))
+            out = fn()
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best * 1e3
 
@@ -69,56 +75,45 @@ def main():
     gf_c1 = 2 * n * h * w * 9 * 128 * 64 / 1e9     # 128->64 conv
     gf_c2 = 2 * n * h * w * 9 * 64 * 64 / 1e9      # 64->64 conv
 
+    # jit each case ONCE; operands are closed over (resident on device)
+    w1m = pack_weights(k1).astype(bf)
+    w2p = pack_pair_weights(k2).astype(bf)
+    w2pd = dgrad_pair_weights(k2).astype(bf)
+    w1pd = dgrad_pair_weights(k1).astype(bf)
+    b2p, vt = tile_pair(b64), tile_pair(vec)
+    xu = unpack_pairs(xp)
+
     cases = {
         # up4.conv1 fwd: native 128-in, 64-out, with stats
         "fwd_native128": (
-            lambda: jax.jit(lambda a, wm, b: conv3x3(
-                a, wm, b, stats=True))(x128, pack_weights(k1).astype(bf), b64),
-            gf_c1),
+            jax.jit(lambda: conv3x3(x128, w1m, b64, stats=True)), gf_c1),
         # conv2 fwd packed with BN prologue + stats (the K2 call)
         "fwd_packed_pro": (
-            lambda: jax.jit(lambda a, wm, b, m, i, be: conv3x3(
-                a, wm, b, prologue=(m, i, be), stats=True))(
-                xp, pack_pair_weights(k2).astype(bf), tile_pair(b64),
-                tile_pair(vec), tile_pair(vec), tile_pair(vec)),
-            gf_c2),
+            jax.jit(lambda: conv3x3(xp, w2p, b2p, prologue=(vt, vt, vt),
+                                    stats=True)), gf_c2),
         # conv2 dgrad packed (dy2 -> dz1)
-        "dgrad_packed": (
-            lambda: jax.jit(lambda a, wm: conv3x3(a, wm))(
-                xp, dgrad_pair_weights(k2).astype(bf)),
-            gf_c2),
+        "dgrad_packed": (jax.jit(lambda: conv3x3(xp, w2pd)), gf_c2),
         # conv2 wgrad packed with prologue (y1p, dy2p)
         "wgrad_packed": (
-            lambda: jax.jit(lambda a, d, m, i, be: wgrad3x3(
-                a, d, prologue=(m, i, be)))(
-                xp, xp, tile_pair(vec), tile_pair(vec), tile_pair(vec)),
+            jax.jit(lambda: wgrad3x3(xp, xp, prologue=(vt, vt, vt))),
             gf_c2),
         # up4.conv1 wgrad native (x 128-native, dy1 unpacked 64)
-        "wgrad_native128": (
-            lambda: jax.jit(lambda a, d: wgrad3x3(a, d))(
-                x128, unpack_pairs(xp)),
-            gf_c1),
+        "wgrad_native128": (jax.jit(lambda: wgrad3x3(x128, xu)), gf_c1),
         # up4.conv1 dgrad: packed dy1 -> native 128 out via pair weights
-        "dgrad1_packed128": (
-            lambda: jax.jit(lambda a, wm: conv3x3(a, wm))(
-                xp, dgrad_pair_weights(k1).astype(bf)),
-            gf_c1),
+        "dgrad1_packed128": (jax.jit(lambda: conv3x3(xp, w1pd)), gf_c1),
         # XLA boundary passes
         "xla_pad": (
-            lambda: jax.jit(lambda a: jnp.pad(
-                a, ((0, 0), (1, 1), (1, 7), (0, 0))))(xp), None),
-        "xla_unpack": (
-            lambda: jax.jit(lambda a: unpack_pairs(a) + 0)(xp), None),
-        "xla_pack": (
-            lambda: jax.jit(lambda a: pack_pairs(a) + 0)(
-                unpack_pairs(xp)), None),
+            jax.jit(lambda: jnp.pad(xp, ((0, 0), (1, 1), (1, 7), (0, 0)))),
+            None),
+        "xla_unpack": (jax.jit(lambda: unpack_pairs(xp) + 0), None),
+        "xla_pack": (jax.jit(lambda: pack_pairs(xu) + 0), None),
         "xla_bn_bwd_passes": (
             # stand-in for one BN+ReLU backward: 2 reduction reads + 1
             # elementwise read/write over the packed activation
-            lambda: jax.jit(lambda y, g: (
-                jnp.sum(jnp.where(y > 0, g, 0.0).astype(jnp.float32),
+            jax.jit(lambda: (
+                jnp.sum(jnp.where(xp > 0, xp, 0.0).astype(jnp.float32),
                         (0, 1, 2)),
-                (jnp.where(y > 0, g, 0.0) * 0.5).astype(y.dtype)))(xp, xp),
+                (jnp.where(xp > 0, xp, 0.0) * 0.5).astype(xp.dtype))),
             None),
     }
 
@@ -126,7 +121,7 @@ def main():
     for name in wanted:
         fn, gflop = cases[name]
         try:
-            t = timeit(lambda: fn(), iters=args.iters)
+            t = timeit(fn, iters=args.iters)
             rate = f"  {gflop / t:6.1f} TF/s(true)" if gflop else ""
             print(f"{name:18s}: {t:7.2f} ms{rate}", flush=True)
         except Exception as e:
