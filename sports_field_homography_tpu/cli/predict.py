@@ -121,9 +121,6 @@ def process(argv=None, num_data_workers: int = 4):
         multihost = initialize_distributed(args.coordinator, args.num_hosts,
                                            args.host_id)
         if multihost:
-            assert args.num_devices is None, \
-                "--num_devices is per-host single-process; in multi-host " \
-                "runs each host uses its local devices"
             print(f"jax.distributed up: predict process "
                   f"{jax.process_index()} of {jax.process_count()}")
 
@@ -184,7 +181,9 @@ def process(argv=None, num_data_workers: int = 4):
         from ..parallel.mesh import (check_batch_divisible, make_mesh,
                                      shard_predict_fn)
         check_batch_divisible(args.batchsize, args.num_devices)
-        mesh = make_mesh(args.num_devices)
+        # under jax.distributed, inference needs no cross-host collectives:
+        # each host meshes over its own chips and predicts its input slice
+        mesh = make_mesh(args.num_devices, local=multihost)
         predict, batch_sharding, repl = shard_predict_fn(
             bundle, mesh, consistency=consistency, project_poi=project_poi,
             keep=tuple(keep))

@@ -49,10 +49,18 @@ def check_batch_divisible(batchsize: int, num_devices: int, flag="--batchsize"):
             f"{ok + num_devices}.")
 
 
-def make_mesh(num_devices: Optional[int] = None, spatial: int = 1) -> Mesh:
-    """Build a (data, spatial) mesh over the first ``num_devices`` devices."""
-    devices = jax.devices()
+def make_mesh(num_devices: Optional[int] = None, spatial: int = 1,
+              local: bool = False) -> Mesh:
+    """Build a (data, spatial) mesh over the first ``num_devices`` devices.
+
+    ``local=True`` meshes over this process's addressable devices only —
+    the multi-host inference combination (each host batches over its own
+    chips; no cross-host collectives, so a per-host local mesh composes
+    with the ``process_slice`` input split instead of a global mesh).
+    """
+    devices = jax.local_devices() if local else jax.devices()
     n = num_devices or len(devices)
+    assert n <= len(devices), (n, len(devices))
     assert n % spatial == 0, (n, spatial)
     arr = np.array(devices[:n]).reshape(n // spatial, spatial)
     return Mesh(arr, ("data", "spatial"))

@@ -130,3 +130,43 @@ def test_two_host_predict_matches_single(workspace, tmp_path):
         np.testing.assert_array_equal(np.asarray(merged[k]["theta"]),
                                       np.asarray(single[k]["theta"]))
         assert merged[k]["score"] == single[k]["score"]
+
+
+def test_two_host_two_device_predict_matches_single(workspace, tmp_path):
+    """Multi-host x multi-chip: each of 2 processes shards its batch over
+    a 2-device LOCAL mesh (--num_devices with jax.distributed up) — the
+    combination the per-host local mesh in cli/predict.py enables."""
+    from sports_field_homography_tpu.cli.predict import process
+
+    single_dst = tmp_path / "single"
+    process(_argv(workspace, single_dst, []))
+    single = json.load(open(single_dst / "frames_court.json"))
+
+    mh_dst = tmp_path / "multi22"
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = _child_env(tmp_path / f"cache{i}")
+        env["XLA_FLAGS"] = (env["XLA_FLAGS"] + " "
+                            "--xla_force_host_platform_device_count=2").strip()
+        procs.append(subprocess.Popen(
+            [sys.executable, "predict.py"] + _argv(workspace, mh_dst, [
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_hosts", "2", "--host_id", str(i),
+                "--num_devices", "2"]),
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n=== host outputs ===\n".join(o[-3000:] for o in outs)
+
+    merged = json.load(open(mh_dst / "frames_court.json"))
+    frames = [k for k in single if k != "model"]
+    assert set(merged) == set(single) and len(frames) == N_FRAMES
+    for k in frames:
+        np.testing.assert_array_equal(np.asarray(merged[k]["theta"]),
+                                      np.asarray(single[k]["theta"]))
+        assert merged[k]["score"] == single[k]["score"]
