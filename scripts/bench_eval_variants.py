@@ -50,15 +50,25 @@ def build(batch=32):
 
 
 def timeit(fn, args, iters):
+    # axon sync trap (CLAUDE.md): block_until_ready does not truly sync
+    # small programs through the tunnel — force a scalar host fetch
+    import jax.numpy as jnp
+
+    def sink(out):
+        leaves = [v for v in jax.tree_util.tree_leaves(out)
+                  if hasattr(v, "dtype")]
+        return float(jnp.sum(jnp.stack([jnp.sum(l.astype(jnp.float32))
+                                        for l in leaves])))
+
     import jax
     out = fn(*args)
-    jax.block_until_ready(out)
+    sink(out)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        sink(out)
         best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
     return best, out
 

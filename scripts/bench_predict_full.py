@@ -19,7 +19,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -56,9 +57,9 @@ def main():
         resnet_name="resnet34", resnet_input="img+mask",
         warp_with_nearest=True, conv_kernel=args.conv_kernel)
     model = Reconstructor(cfg, dtype=jnp.bfloat16)
-    ci = open_court_template("/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png",
+    ci = open_court_template(os.path.join(_REPO, "assets", "mask_ncaa_v4_nc4_m_onehot.png"),
                              num_classes=4, size=warp, batch_size=batch)
-    cp = open_court_poi("/root/repo/assets/template_ncaa_v4_points.json",
+    cp = open_court_poi(os.path.join(_REPO, "assets", "template_ncaa_v4_points.json"),
                         batch)
     x1 = jnp.zeros((1, target[1], target[0], 3), jnp.float32)
     variables = jax.jit(lambda: model.init(

@@ -16,7 +16,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -42,10 +43,10 @@ def build(batch, warp_size, kernel, court_size=None):
         warp_with_nearest=True, warp_kernel=kernel)
     model = Reconstructor(cfg, dtype=jnp.bfloat16)
     court_img = open_court_template(
-        "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png", num_classes=4,
+        os.path.join(_REPO, "assets", "mask_ncaa_v4_nc4_m_onehot.png"), num_classes=4,
         size=court_size, batch_size=batch)
     court_poi = open_court_poi(
-        "/root/repo/assets/template_ncaa_v4_points.json", batch)
+        os.path.join(_REPO, "assets", "template_ncaa_v4_points.json"), batch)
     table = build_interval_table(np.asarray(court_img))
     return model, jax.device_put(court_img), jax.device_put(court_poi), table
 

@@ -20,14 +20,15 @@ import sys
 import numpy as np
 from PIL import Image
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from sports_field_homography_tpu.geometry.court import load_court_poi  # noqa: E402
 from sports_field_homography_tpu.geometry.warp import warp_homography  # noqa: E402
 from sports_field_homography_tpu.utils.postprocess import onehot_to_image  # noqa: E402
 
-TEMPLATE = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
-POI = "/root/repo/assets/template_ncaa_v4_points.json"
+TEMPLATE = os.path.join(_REPO, "assets", "mask_ncaa_v4_nc4_m_onehot.png")
+POI = os.path.join(_REPO, "assets", "template_ncaa_v4_points.json")
 BASE_THETA = np.array([[1.4, 0.1, 0.05], [0.02, 2.2, 0.6], [0.01, 0.9, 1.0]])
 
 

@@ -34,7 +34,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
 os.environ.setdefault(
@@ -42,8 +43,8 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache"))
 
-TMPL = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
-POI = "/root/repo/assets/template_ncaa_v4_points.json"
+TMPL = os.path.join(_REPO, "assets", "mask_ncaa_v4_nc4_m_onehot.png")
+POI = os.path.join(_REPO, "assets", "template_ncaa_v4_points.json")
 SIZE = (640, 360)
 
 

@@ -55,10 +55,13 @@ def save_mask_as_png(mask, dst_dir, name, postfix="mask"):
 class PickleMaskWriter:
     """Pickled PNG-buffer stream writer (reference ``predict.py:26-37``)."""
 
-    def __init__(self, dst_dir: str, postfix: str = "mask"):
+    def __init__(self, dst_dir: str, postfix: str = "mask", suffix: str = ""):
+        # suffix: per-host part discriminator for multi-host runs (the
+        # parts are byte-concatenated into data.pkl by host 0 — a
+        # pickle.dump stream concatenates losslessly)
         dst_subdir = os.path.join(dst_dir, postfix)
         os.makedirs(dst_subdir, exist_ok=True)
-        self.file = open(os.path.join(dst_subdir, "data.pkl"), "wb+")
+        self.file = open(os.path.join(dst_subdir, "data.pkl" + suffix), "wb+")
 
     def write(self, name: str, mask: np.ndarray):
         import cv2
@@ -90,20 +93,44 @@ class _DatasetShard:
     inference needs no cross-host collectives at all)."""
 
     def __init__(self, base, lo: int, hi: int):
-        self.base, self.lo, self.n = base, lo, hi - lo
-        if isinstance(base, VideoDataset) and base.decode_workers == 1 and lo:
-            # sequential-decode path: pre-seek the capture to the shard
-            # start so in-order reads serve frames lo, lo+1, ...
-            import cv2
-
-            base.cap = cv2.VideoCapture(base.path)
-            base.cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
+        self.base, self.lo, self.n = base, lo, max(0, hi - lo)
+        if isinstance(base, VideoDataset):
+            # both decode paths (sequential pre-seek / chunked pool)
+            # restrict themselves to the shard's frame range
+            base.set_range(lo, hi)
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, i: int):
         return self.base[self.lo + i]
+
+
+def _host_slice(n: int, pid: int, nproc: int):
+    """Contiguous per-host [lo, hi) input slice.  Clamps BOTH ends: with
+    more hosts than frames a surplus host gets an empty shard (and must
+    still reach the end-of-run barrier rather than die on len()<0)."""
+    per = (n + nproc - 1) // nproc
+    lo = min(pid * per, n)
+    return lo, min(lo + per, n)
+
+
+def _merge_jsonl_parts(parts, dst_path: str, model_name: str):
+    """Merge per-host (or the single-host) JSONL part files into the
+    final ``{game}_court.json`` (reference ``predict.py:399-407``);
+    removes the parts."""
+    output = {}
+    for part in parts:
+        if not os.path.exists(part):
+            continue
+        with open(part) as f:
+            for line in f:
+                output.update(json.loads(line))
+        os.remove(part)
+    if output:
+        output["model"] = model_name
+        with open(dst_path, "w") as f:
+            json.dump(output, f, cls=NumpyEncoder, indent=2)
 
 
 def process(argv=None, num_data_workers: int = 4):
@@ -215,8 +242,7 @@ def process(argv=None, num_data_workers: int = 4):
         # contiguous per-host slice of the input (reference has no
         # multi-machine inference; this is the DCN scale-out analog)
         pid, nproc = jax.process_index(), jax.process_count()
-        per = (len(data) + nproc - 1) // nproc
-        lo, hi = pid * per, min((pid + 1) * per, len(data))
+        lo, hi = _host_slice(len(data), pid, nproc)
         data = _DatasetShard(data, lo, hi)
         nw = num_data_workers if args.img_dir is not None else 1
         loader = Loader(data, args.batchsize, shuffle=False, num_workers=nw)
@@ -245,16 +271,20 @@ def process(argv=None, num_data_workers: int = 4):
 
     # --- writer thread: encodes/saves while the device computes ------------
     out_q: "queue.Queue" = queue.Queue(maxsize=8)
-    json_path = os.path.join(args.dst_dir,
-                             "{}_court_processing.json".format(game_name))
-    if multihost and jax.process_count() > 1:
-        json_path += ".h{}".format(jax.process_index())
+    # per-host part suffix: every multi-host writer (JSONL + pickle mask
+    # streams) writes its own part; host 0 merges after the barrier
+    part_suffix = (".h{}".format(jax.process_index())
+                   if multihost and jax.process_count() > 1 else "")
+    json_path = os.path.join(
+        args.dst_dir,
+        "{}_court_processing.json".format(game_name)) + part_suffix
     writer_state: Dict[str, Optional[object]] = {"json": None, "segm_pkl": None,
                                                  "warp_pkl": None, "error": None}
 
     def get_pickle_writer(key, postfix):
         if writer_state[key] is None:
-            writer_state[key] = PickleMaskWriter(args.dst_dir, postfix)
+            writer_state[key] = PickleMaskWriter(args.dst_dir, postfix,
+                                                 suffix=part_suffix)
         return writer_state[key]
 
     def writer_loop():
@@ -430,39 +460,31 @@ def process(argv=None, num_data_workers: int = 4):
             writer_state[key].close()
     if writer_state["json"] is not None:
         writer_state["json"].close()
+    model_name = (os.path.basename(os.path.dirname(args.load))
+                  if args.load else "uninitialized")
+    court_json = os.path.join(args.dst_dir, "{}_court.json".format(game_name))
     if multihost and jax.process_count() > 1:
-        # every host's JSONL part is on disk; barrier, then host 0 merges
+        # every host's parts are on disk; barrier, then host 0 merges
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("sfh_predict_writers_done")
         if jax.process_index() == 0:
             base = os.path.join(args.dst_dir,
                                 "{}_court_processing.json".format(game_name))
-            parts = [base + ".h{}".format(p)
-                     for p in range(jax.process_count())]
-            output = {}
-            for part in parts:
-                if not os.path.exists(part):
-                    continue
-                with open(part) as f:
-                    for line in f:
-                        output.update(json.loads(line))
-                os.remove(part)
-            if output:
-                output["model"] = os.path.basename(os.path.dirname(args.load)) \
-                    if args.load else "uninitialized"
-                new_path = os.path.join(args.dst_dir,
-                                        "{}_court.json".format(game_name))
-                with open(new_path, "w") as f:
-                    json.dump(output, f, cls=NumpyEncoder, indent=2)
+            nproc = jax.process_count()
+            _merge_jsonl_parts([base + ".h{}".format(p) for p in range(nproc)],
+                               court_json, model_name)
+            for postfix in ("court/segm_mask", "court/warp_mask"):
+                pkl = os.path.join(args.dst_dir, postfix, "data.pkl")
+                parts = [pkl + ".h{}".format(p) for p in range(nproc)
+                         if os.path.exists(pkl + ".h{}".format(p))]
+                if parts:        # a pickle stream concatenates losslessly
+                    with open(pkl, "wb") as out:
+                        for part in parts:
+                            with open(part, "rb") as f:
+                                out.write(f.read())
+                            os.remove(part)
     elif writer_state["json"] is not None:
-        output = {k: v for line in open(json_path, "r")
-                  for k, v in json.loads(line).items()}
-        output["model"] = os.path.basename(os.path.dirname(args.load)) \
-            if args.load else "uninitialized"
-        new_path = os.path.join(args.dst_dir, "{}_court.json".format(game_name))
-        with open(new_path, "w") as f:
-            json.dump(output, f, cls=NumpyEncoder, indent=2)
-        os.remove(json_path)
+        _merge_jsonl_parts([json_path], court_json, model_name)
 
     print("Processing completed!")
 

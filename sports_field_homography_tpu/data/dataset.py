@@ -244,6 +244,26 @@ class VideoDataset:
         self.decode_workers = max(1, int(decode_workers))
         self.decode_ahead = max(self.decode_workers * 4, int(decode_ahead))
         self._pool = None
+        self._range = (0, self.num_frames)
+
+    def set_range(self, lo: int, hi: int):
+        """Restrict consumption to frames ``[lo, hi)`` (multi-host predict
+        shards).  The sequential capture pre-seeks to ``lo``; the decode
+        pool (if enabled) chunks, buffers, and decode-ahead-windows only
+        this range — without this the pool would cover ``[0, n)`` with
+        ``next_needed = 0`` and a shard starting mid-video would deadlock
+        against the decode-ahead window."""
+        import cv2
+
+        lo = max(0, min(int(lo), self.num_frames))
+        hi = max(lo, min(int(hi), self.num_frames))
+        assert self._pool is None, "set_range must precede first access"
+        self._range = (lo, hi)
+        if self.decode_workers == 1 and lo:
+            if self.cap is not None:
+                self.cap.release()
+            self.cap = cv2.VideoCapture(self.path)
+            self.cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
 
     def __len__(self) -> int:
         return self.num_frames
@@ -330,10 +350,11 @@ class _VideoDecodePool:
         import threading
 
         self.ds = ds
-        self.n = ds.num_frames
+        base, limit = ds._range       # consumed frame range [base, limit)
+        self.n = limit - base
         self.cond = threading.Condition()
         self.ready: Dict[int, object] = {}
-        self.next_needed = 0          # lowest index not yet consumed
+        self.next_needed = base       # lowest index not yet consumed
         self.last = None              # (i, sample): tail-padding replays
         self.error = None
         self.stop = False
@@ -342,7 +363,7 @@ class _VideoDecodePool:
         self.per_ahead = max(4, ds.decode_ahead // workers)
         self.threads = []
         for w in range(workers):
-            lo, hi = w * chunk, min((w + 1) * chunk, self.n)
+            lo, hi = base + w * chunk, min(base + (w + 1) * chunk, limit)
             if lo >= hi:
                 break
             t = threading.Thread(target=self._decode_range, args=(lo, hi),

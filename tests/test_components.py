@@ -430,3 +430,87 @@ class TestParallelVideoDecode:
         flat = np.concatenate([b["image"] for b in batches])[:23]
         expect = np.stack([ref[i]["image"] for i in range(23)])
         np.testing.assert_array_equal(flat, expect)
+
+    def test_pool_respects_shard_range(self, tmp_path):
+        """A multi-host shard consumes only [lo, n): without set_range the
+        pool covers [0, n) with next_needed=0 and a shard start deep past
+        the decode-ahead window deadlocks (regression)."""
+        import threading
+
+        from sports_field_homography_tpu.data.dataset import VideoDataset
+
+        path = tmp_path / "clip.mp4"
+        self._write_video(path, n=120)
+        seq = VideoDataset(str(path), target_size=(32, 18))
+        ref = {i: seq[i] for i in range(120)}   # sequential = in-order
+        ds = VideoDataset(str(path), target_size=(32, 18), decode_workers=2,
+                          decode_ahead=8)   # per_ahead=4 << lo
+        ds.set_range(70, 120)
+        got, errs = {}, []
+
+        def consume():
+            try:
+                for i in range(70, 120):
+                    got[i] = ds[i]
+            except BaseException as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        t.join(timeout=30.0)
+        assert not t.is_alive(), "shard-range decode deadlocked"
+        assert not errs and len(got) == 50
+        for i in (70, 95, 119):
+            np.testing.assert_array_equal(got[i]["image"], ref[i]["image"])
+        ds.close()
+
+    def test_host_slice_clamps_surplus_hosts(self):
+        from sports_field_homography_tpu.cli.predict import _host_slice
+
+        # 4 frames over 8 hosts: hosts 4..7 must get EMPTY (not negative)
+        slices = [_host_slice(4, p, 8) for p in range(8)]
+        assert slices[:4] == [(0, 1), (1, 2), (2, 3), (3, 4)]
+        assert all(lo == hi for lo, hi in slices[4:])
+        assert all(hi >= lo for lo, hi in slices)
+        # general partition property
+        for n, k in [(6, 2), (7, 3), (1, 5), (0, 3), (25, 4)]:
+            parts = [_host_slice(n, p, k) for p in range(k)]
+            assert parts[0][0] == 0 and max(hi for _, hi in parts) == n
+            covered = sorted(i for lo, hi in parts for i in range(lo, hi))
+            assert covered == list(range(n))
+
+    def test_pickle_part_merge_roundtrip(self, tmp_path):
+        """Per-host pickle mask parts byte-concatenate into one valid
+        data.pkl stream (the multi-host merge in cli/predict.py)."""
+        import pickle
+
+        from sports_field_homography_tpu.cli.predict import PickleMaskWriter
+
+        rng = np.random.RandomState(0)
+        masks = {f"f{i:03d}": rng.randint(0, 255, (8, 8), dtype=np.uint8)
+                 for i in range(4)}
+        names = sorted(masks)
+        for h in range(2):
+            wr = PickleMaskWriter(str(tmp_path), "court/segm_mask",
+                                  suffix=f".h{h}")
+            for n in names[h * 2:(h + 1) * 2]:
+                wr.write(n, masks[n])
+            wr.close()
+        pkl = tmp_path / "court/segm_mask/data.pkl"
+        with open(pkl, "wb") as out:
+            for h in range(2):
+                part = str(pkl) + f".h{h}"
+                with open(part, "rb") as f:
+                    out.write(f.read())
+        import cv2
+        seen = {}
+        with open(pkl, "rb") as f:
+            while True:
+                try:
+                    name, buf = pickle.load(f)
+                except EOFError:
+                    break
+                seen[name] = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)
+        assert sorted(seen) == names
+        for n in names:
+            np.testing.assert_array_equal(seen[n], masks[n])

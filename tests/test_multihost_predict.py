@@ -95,11 +95,14 @@ def _argv(workspace, dst, extra):
 
 
 def test_two_host_predict_matches_single(workspace, tmp_path):
-    # single-host reference run (in-process, CPU via conftest)
+    # single-host reference run (in-process, CPU via conftest); pickle
+    # mask format exercises the per-host part files + host-0 concat merge
     from sports_field_homography_tpu.cli.predict import process
 
+    extra_out = ["--req_outputs", "theta,consistency,segm_mask",
+                 "--mask_save_format", "pickle"]
     single_dst = tmp_path / "single"
-    process(_argv(workspace, single_dst, []))
+    process(_argv(workspace, single_dst, extra_out))
     single = json.load(open(single_dst / "frames_court.json"))
 
     # two-process run
@@ -109,7 +112,7 @@ def test_two_host_predict_matches_single(workspace, tmp_path):
         subprocess.Popen(
             [sys.executable, "predict.py"] + _argv(workspace, mh_dst, [
                 "--coordinator", f"127.0.0.1:{port}",
-                "--num_hosts", "2", "--host_id", str(i)]),
+                "--num_hosts", "2", "--host_id", str(i)] + extra_out),
             cwd="/root/repo", env=_child_env(tmp_path / "cache"),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
@@ -130,6 +133,26 @@ def test_two_host_predict_matches_single(workspace, tmp_path):
         np.testing.assert_array_equal(np.asarray(merged[k]["theta"]),
                                       np.asarray(single[k]["theta"]))
         assert merged[k]["score"] == single[k]["score"]
+
+    # merged pickle mask stream == single-host stream, record for record
+    def read_stream(p):
+        import pickle
+        recs = {}
+        with open(p, "rb") as f:
+            while True:
+                try:
+                    name, buf = pickle.load(f)
+                except EOFError:
+                    return recs
+                recs[name] = np.asarray(buf).tobytes()
+
+    mh_pkl = mh_dst / "court/segm_mask/data.pkl"
+    assert not list(mh_dst.glob("court/segm_mask/data.pkl.h*")), \
+        "per-host parts must be merged and removed"
+    s, m = read_stream(single_dst / "court/segm_mask/data.pkl"), \
+        read_stream(mh_pkl)
+    assert sorted(m) == sorted(s) and len(m) == N_FRAMES
+    assert all(m[k] == s[k] for k in s)
 
 
 def test_two_host_two_device_predict_matches_single(workspace, tmp_path):
