@@ -41,7 +41,11 @@ class _HomographyWarper(torch.nn.Module):
         xs = torch.linspace(-1, 1, width)
         ys = torch.linspace(-1, 1, height)
         gy, gx = torch.meshgrid(ys, xs, indexing="ij")
-        self.register_buffer("grid", torch.stack([gx, gy], -1).reshape(1, -1, 2))
+        # kornia 0.5 assigns the grid as a PLAIN attribute (not a
+        # registered buffer), so it never appears in state_dicts — the
+        # reference's strict load of train-time checkpoints into
+        # differently-sized predict-time warpers depends on this.
+        self.grid = torch.stack([gx, gy], -1).reshape(1, -1, 2)
 
     def forward(self, patch_src, src_homo_dst):
         if src_homo_dst.dim() == 4:
