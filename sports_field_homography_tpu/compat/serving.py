@@ -1,0 +1,123 @@
+"""Self-contained serving artifacts via ``jax.export`` (StableHLO).
+
+The reference serves by unpickling a ``.pth`` into Python model code
+(``predict.py:195-208``); the TPU-native production analog is an
+ahead-of-time *serialized program*: the jitted predict function —
+weights, court constants and the interval warp table baked in as
+constants — exported to StableHLO bytes that any PjRt runtime (C++,
+serving containers, future jax versions) can load and run **without this
+package's model code or checkpoint files**.
+
+Artifact layout (one directory):
+  * ``program.shlo``  — ``jax.export`` serialization of
+    ``predict(x: uint8/float32 [B,H,W,3]) -> {theta, score, ...}``
+  * ``meta.json``     — input spec, output names, platforms, config echo
+
+Round-trips through :func:`load_serving`, which returns a callable with
+the same signature; ``tests/test_serving_export.py`` asserts bit-equal
+outputs vs the live model.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["export_predict", "save_serving", "load_serving"]
+
+_PROGRAM = "program.shlo"
+_META = "meta.json"
+
+
+def export_predict(bundle, consistency: bool, project_poi: bool,
+                   keep: Optional[Sequence[str]], batch_size: int,
+                   platforms: Optional[Sequence[str]] = None,
+                   input_dtype: str = "uint8"):
+    """Export the jitted predict program with everything baked in.
+
+    ``bundle``: a ``cli.engine.ModelBundle`` (params restored, BN folded as
+    desired).  ``platforms``: lowering targets (e.g. ``["tpu"]``,
+    ``["tpu", "cpu"]``); None = the current default backend.
+
+    Returns ``(jax.export.Exported, meta dict)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from ..cli.engine import jit_predict_fn
+
+    fn = jit_predict_fn(bundle, consistency=consistency,
+                        project_poi=project_poi,
+                        keep=tuple(keep) if keep is not None else None)
+    variables = bundle.variables
+
+    # weights/constants ride as closure constants -> embedded in the
+    # StableHLO module; the exported signature is x -> preds
+    serve = jax.jit(lambda x: fn(variables, x))
+
+    w, h = bundle.config.target_size
+    dtype = {"uint8": jnp.uint8, "float32": jnp.float32}[input_dtype]
+    x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), dtype)
+
+    exported = jax_export.export(
+        serve, platforms=tuple(platforms) if platforms else None)(x_spec)
+
+    out_names = sorted(exported.out_tree.unflatten(
+        [None] * exported.out_tree.num_leaves))
+    meta = {
+        "format": "jax.export/stablehlo",
+        "calling_convention_version":
+            int(exported.calling_convention_version),
+        "platforms": list(exported.platforms),
+        "input": {"shape": [batch_size, h, w, 3], "dtype": input_dtype,
+                  "layout": "NHWC",
+                  "note": "uint8 inputs are normalized (x/255) in-program"},
+        "outputs": list(out_names),
+        "config": {
+            "target_size": list(bundle.config.target_size),
+            "unet_size": list(bundle.config.unet_size),
+            "warp_size": list(bundle.config.warp_size),
+            "mask_classes": int(bundle.config.mask_classes),
+            "resnet_name": bundle.config.resnet_name,
+            "resnet_input": bundle.config.resnet_input,
+            "consistency": bool(consistency),
+            "project_poi": bool(project_poi),
+        },
+    }
+    return exported, meta
+
+
+def save_serving(dst_dir: str, exported, meta: dict) -> str:
+    os.makedirs(dst_dir, exist_ok=True)
+    with open(os.path.join(dst_dir, _PROGRAM), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(dst_dir, _META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return dst_dir
+
+
+def load_serving(src_dir: str):
+    """Load a serving artifact -> ``(callable, meta)``.
+
+    The callable takes one array ``x`` with the artifact's input spec and
+    returns the predict output dict.  No model code or checkpoint is
+    touched: the program (weights included) deserializes from bytes and
+    runs under ``jax.jit`` on any platform the artifact was lowered for.
+    """
+    import jax
+    from jax import export as jax_export
+
+    with open(os.path.join(src_dir, _PROGRAM), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    with open(os.path.join(src_dir, _META)) as f:
+        meta = json.load(f)
+
+    call = jax.jit(exported.call)
+
+    def fn(x: np.ndarray):
+        return call(x)
+
+    return fn, meta

@@ -1,0 +1,98 @@
+"""StableHLO serving artifacts (compat.serving + scripts/export_serving.py).
+
+The artifact must (a) serialize/deserialize through bytes on disk,
+(b) run WITHOUT the model code path (weights baked in), and (c) produce
+bit-identical outputs to the live jitted predict it was exported from.
+"""
+import importlib.util
+import json
+import os
+
+import numpy as np
+import yaml
+
+import jax
+
+from sports_field_homography_tpu.cli.engine import build_model, jit_predict_fn
+from sports_field_homography_tpu.compat.serving import (
+    export_predict, load_serving, save_serving)
+from sports_field_homography_tpu.utils.checkpoint import save_checkpoint
+
+W, H = 64, 36
+COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
+COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
+
+
+class _Args:
+    batchsize = 2
+    target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+    court_size = (W, H); mask_classes = 4
+    use_unet = True; unet_bilinear = False; unet_uv = False
+    use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+    use_warper = True; compute_dtype = "float32"
+    court_img = COURT_IMG; court_poi = COURT_POI
+
+
+def test_export_roundtrip_bit_equal(tmp_path):
+    bundle = build_model(_Args, warp_with_nearest=True)
+    keep = ("consist_score", "theta", "warp_mask")
+    exported, meta = export_predict(
+        bundle, consistency=True, project_poi=True, keep=keep,
+        batch_size=2, input_dtype="uint8")
+    save_serving(str(tmp_path / "serving"), exported, meta)
+
+    fn, meta2 = load_serving(str(tmp_path / "serving"))
+    assert meta2["input"]["shape"] == [2, H, W, 3]
+    assert sorted(meta2["outputs"]) == sorted(keep)
+
+    x = np.random.RandomState(7).randint(0, 255, (2, H, W, 3), np.uint8)
+    served = jax.device_get(fn(x))
+
+    live_fn = jit_predict_fn(bundle, consistency=True, project_poi=True,
+                             keep=keep)
+    live = jax.device_get(live_fn(bundle.variables, x))
+
+    assert sorted(served) == sorted(live)
+    for k in live:
+        np.testing.assert_array_equal(np.asarray(served[k]),
+                                      np.asarray(live[k]), err_msg=k)
+    # non-degenerate program: theta finite, warp labels in class range
+    assert np.isfinite(served["theta"]).all()
+    assert served["warp_mask"].dtype == np.uint8
+
+
+def test_export_cli(tmp_path):
+    cp_dir = tmp_path / "ckpt"
+    cp_dir.mkdir()
+    bundle = build_model(_Args)
+    save_checkpoint(str(cp_dir / "CP_epoch1.msgpack"), bundle.variables)
+    conf = {
+        "target_size": [W, H], "unet_size": [W, H], "warp_size": [W, H],
+        "court_size": [W, H], "mask_classes": 4, "resnet_name": "resnet18",
+        "resnet_input": "img+mask", "use_unet": True, "use_resnet": True,
+        "compute_dtype": "float32",
+    }
+    with open(cp_dir / "conf.yaml", "w") as f:
+        yaml.safe_dump(conf, f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "export_serving", os.path.join(repo, "scripts", "export_serving.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["--load", str(cp_dir / "CP_epoch1.msgpack"),
+              "--req_outputs", "theta,consistency",
+              "--batchsize", "2", "--out_size", str(W), str(H),
+              "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+              "--compute_dtype", "float32"])
+
+    art = cp_dir / "CP_epoch1_serving"
+    assert (art / "program.shlo").exists()
+    meta = json.load(open(art / "meta.json"))
+    assert sorted(meta["outputs"]) == ["consist_score", "theta"]
+
+    fn, _ = load_serving(str(art))
+    x = np.random.RandomState(3).randint(0, 255, (2, H, W, 3), np.uint8)
+    out = jax.device_get(fn(x))
+    assert out["theta"].shape == (2, 1, 3, 3)
+    assert np.isfinite(np.asarray(out["consist_score"], np.float32)).all()
