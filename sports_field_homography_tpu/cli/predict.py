@@ -187,6 +187,17 @@ def process(argv=None, num_data_workers: int = 4):
 
     logger = get_logger(format="%(message)s", write_date=False)
 
+    if jax.default_backend() == "tpu" and args.batchsize % 8:
+        # same sublane-padding tax as training (cli/train.py): measured at
+        # inference too — batch 18 runs batch-24 tiles (81.9 ms vs batch
+        # 16's 61.5 ms, i.e. 220 vs 260 fps; see BASELINE.md serving sweep)
+        nxt = args.batchsize + 8 - args.batchsize % 8
+        logger.info(
+            f"NOTE: batch size {args.batchsize} is not a multiple of 8; on "
+            f"TPU it computes like batch {nxt} (sublane padding). Batch "
+            f"{max(args.batchsize - args.batchsize % 8, 8)} or {nxt} "
+            f"predicts strictly faster per frame.")
+
     bundle = build_model(args, load=args.load, warp_with_nearest=True,
                          fold_bn=bool(getattr(args, "fold_bn", 1)))
     keep = set()
