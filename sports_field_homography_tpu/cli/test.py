@@ -39,9 +39,11 @@ def test(args):
                          fold_bn=bool(getattr(args, "fold_bn", 1)))
 
     test_ids, _ = split_on_train_val(args.img_dir, val_names=[])
+    # uint8 transfer is lossless here (no augmentation; the eval step
+    # normalizes u8/255 on device) and cuts H2D traffic 4x
     test_data = BasicDataset(test_ids, args.img_dir, args.mask_dir,
                              args.anno_dir, args.anno_keys, args.mask_classes,
-                             target_size=args.target_size)
+                             target_size=args.target_size, raw_uint8=True)
     loader = Loader(test_data, args.batchsize, shuffle=False, num_workers=8,
                     drop_last=False)
     n_test = len(test_data)

@@ -26,19 +26,28 @@ __all__ = ["main", "prepare_dataloader"]
 
 def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
                        mask_classes, use_uv, batch_size, target_size, aug,
-                       only_ncaam, shard=None):
+                       only_ncaam, shard=None, uint8_inputs=None):
     """Train/val loaders (reference ``train.py:25-40``).
 
     ``shard``: (host_index, host_count) for multi-host training — each
     host decodes only its slice of every (global) train batch; validation
     stays unsharded (every host evaluates the full set identically, so
-    the plateau scheduler steps in lockstep)."""
+    the plateau scheduler steps in lockstep).
+
+    ``uint8_inputs``: ship frames as uint8 and normalize on device (4x
+    less H2D traffic).  Default (None): on exactly when it is lossless —
+    no augmentation (u8/255 on device is bit-identical to the host /255
+    float path); with augmentation it quantizes the augmented float image
+    back to 8 bits, so it is opt-in (pass 1 to force)."""
     train_ids, val_ids = split_on_train_val(img_dir, val_names,
                                             only_ncaam=only_ncaam)
+    train_u8 = bool(uint8_inputs) if uint8_inputs is not None else aug is None
+    val_u8 = bool(uint8_inputs) if uint8_inputs is not None else True
     train = BasicDataset(train_ids, img_dir, mask_dir, anno_dir, anno_keys,
-                         mask_classes, use_uv, target_size, aug=aug)
+                         mask_classes, use_uv, target_size, aug=aug,
+                         raw_uint8=train_u8)
     val = BasicDataset(val_ids, img_dir, mask_dir, anno_dir, anno_keys,
-                       mask_classes, use_uv, target_size)
+                       mask_classes, use_uv, target_size, raw_uint8=val_u8)
     # sharded hosts must agree on the shuffled index order -> fixed seed
     train_loader = Loader(train, batch_size, shuffle=True, num_workers=8,
                           drop_last=False, pad_last=True,
@@ -144,7 +153,8 @@ def main(argv=None):
         batch_size=args.batchsize, target_size=args.target_size,
         aug=args.aug, only_ncaam=args.only_ncaam,
         shard=((jax.process_index(), jax.process_count())
-               if multihost else None))
+               if multihost else None),
+        uint8_inputs=getattr(args, "uint8_inputs", None))
     logger.info(f"Dataset: train={n_train} val={n_val} aug={args.aug}")
 
     if args.conf_path is not None:

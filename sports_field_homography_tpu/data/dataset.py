@@ -113,7 +113,9 @@ class BasicDataset:
 
     ``raw_uint8``: emit images as uint8 (normalization happens on device:
     ``u8/255`` in f32 is bit-identical and cuts host->device traffic 4x).
-    Only valid without augmentation.
+    With augmentation the float augmented image is rounded back to uint8
+    (max rounding error 1/510 per pixel — the source frames are 8-bit, so
+    only jitter/blur-created fractional values are quantized).
     """
 
     def __init__(self, ids: Sequence[str], img_dir: str,
@@ -121,7 +123,6 @@ class BasicDataset:
                  anno_keys: Optional[Sequence[str]] = None, num_classes: int = 1,
                  use_uv: bool = False, target_size=(1280, 720), aug=None,
                  keep_orig_img: bool = False, raw_uint8: bool = False):
-        assert not (raw_uint8 and aug is not None)
         self.raw_uint8 = raw_uint8
         assert (anno_dir is not None and anno_keys is not None) or anno_dir is None
         self.ids = list(ids)
@@ -162,9 +163,11 @@ class BasicDataset:
             f"Either no json or multiple json found for the ID {name_wo_ext}.json: {anno_file}"
 
         orig_img = Image.open(img_file[0])
-        img = preprocess_img(orig_img, self.target_size,
-                             normalize=not self.raw_uint8)
-        if self.raw_uint8:
+        # augmentation runs on the normalized float image; without it the
+        # uint8 path skips the host-side /255 entirely
+        normalize = not self.raw_uint8 or self.aug is not None
+        img = preprocess_img(orig_img, self.target_size, normalize=normalize)
+        if self.raw_uint8 and self.aug is None:
             img = img.astype(np.uint8)
 
         mask = uv = None
@@ -192,6 +195,8 @@ class BasicDataset:
             img, mask, uv, poi, nonzeros = self.aug(
                 img, mask, uv, poi, nonzeros,
                 seed=np.random.randint(2147483647))
+            if self.raw_uint8:
+                img = np.clip(np.rint(img * 255.0), 0.0, 255.0).astype(np.uint8)
 
         sample["image"] = img
         if mask is not None:

@@ -23,6 +23,14 @@ from ..models.losses import (
 __all__ = ["make_eval_step", "eval_reconstructor"]
 
 
+def _norm_img(img):
+    """Device-side u8/255 normalization (no-op for float inputs)."""
+    img = jnp.asarray(img)
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    return img
+
+
 def make_eval_step(model, court_img, court_poi, target_size,
                    use_per_sample_weights: bool = True):
     """Build the jitted per-batch metric function.
@@ -46,7 +54,11 @@ def make_eval_step(model, court_img, court_poi, target_size,
 
     @jax.jit
     def _step(variables, batch, ci, cp, wt) -> Dict[str, jnp.ndarray]:
-        preds = model.apply(variables, batch["image"], ci, cp,
+        img = batch["image"]
+        if img.dtype == jnp.uint8:
+            # device-side u8/255 normalization (bit-identical, 4x less H2D)
+            img = img.astype(jnp.float32) / 255.0
+        preds = model.apply(variables, img, ci, cp,
                             train=False, warp_table=wt)
         out: Dict[str, jnp.ndarray] = {}
         logits = preds.get("logits")
@@ -157,7 +169,10 @@ def eval_reconstructor(model, variables, loader, court_img, court_poi,
         "val_consist_score": sums["consist"] / n,
     }
     if last is not None:
-        result["imgs"] = np.asarray(last_imgs)
+        imgs = np.asarray(last_imgs)
+        if imgs.dtype == np.uint8:
+            imgs = imgs.astype(np.float32) / 255.0
+        result["imgs"] = imgs
         if np.ndim(last["_logits"]):
             result["logits"] = np.asarray(last["_logits"])
         if np.ndim(last["_warp"]):
@@ -176,7 +191,7 @@ def eval_net(model, variables, loader, n_classes: int,
     tot = 0.0
     n_val = 0
     for batch in loader:
-        logits = model.apply(variables, batch["image"], train=False)
+        logits = model.apply(variables, _norm_img(batch["image"]), train=False)
         mask = jnp.asarray(batch["mask"])
         if n_classes > 1:
             tot += float(jnp.mean(cross_entropy_map(logits, mask.astype(jnp.int32))))
@@ -194,8 +209,8 @@ def eval_stn(model, variables, loader, template, n_classes: int):
     ce_score = mse_score = 0.0
     n_val = 0
     for batch in loader:
-        logits, proj = model.apply(variables, batch["image"], template,
-                                   train=False)
+        logits, proj = model.apply(variables, _norm_img(batch["image"]),
+                                   template, train=False)
         mask_i = jnp.asarray(batch["mask"]).astype(jnp.int32)
         ce_score += float(jnp.mean(cross_entropy_map(logits, mask_i)))
         gt_f = mask_i.astype(jnp.float32) / float(n_classes)

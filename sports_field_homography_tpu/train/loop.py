@@ -88,7 +88,12 @@ def make_loss_fn(model, loss_cfg: LossConfig):
     def loss_fn(params, batch_stats, batch, step_no, court_img, court_poi,
                 warp_table):
         variables = {"params": params, "batch_stats": batch_stats}
-        preds, mutated = model.apply(variables, batch["image"], court_img,
+        img = batch["image"]
+        if img.dtype == jnp.uint8:
+            # uint8 ships 4x less over the host->device link; u8/255 here
+            # is bit-identical to the host-side /255 float path
+            img = img.astype(jnp.float32) / 255.0
+        preds, mutated = model.apply(variables, img, court_img,
                                      court_poi, train=True,
                                      warp_table=warp_table,
                                      mutable=["batch_stats"])

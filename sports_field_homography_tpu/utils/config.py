@@ -173,6 +173,13 @@ def get_training_args(ret_parser: bool = False, argv=None):
     parser.add_argument("--resume", action="store_true", default=False,
                         help="Resume full training state (params + optimizer "
                              "+ step) from cp_dir/last_state.msgpack")
+    parser.add_argument("--uint8_inputs", type=int, default=None,
+                        help="Ship train/val frames to the device as uint8 "
+                             "(4x less host->device traffic; normalization "
+                             "happens on device). Default: on when no "
+                             "augmentation is configured (bit-identical), "
+                             "off with augmentation (rounds the augmented "
+                             "float image back to 8 bits). 0/1 to force.")
 
     # Losses:
     parser.add_argument("--rec_loss", type=str, default="MSE")

@@ -132,6 +132,102 @@ def test_loss_decreases_when_overfitting(dataset_root):
     assert np.isfinite(last)
 
 
+def test_uint8_inputs_bit_identical_without_aug(dataset_root):
+    """uint8-shipped frames (device-side u8/255) must reproduce the f32
+    train step (loss bitwise; params to float ulp — XLA fuses the convert
+    differently) when no augmentation is configured, and
+    prepare_dataloader must default to uint8 exactly then."""
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.cli.train import prepare_dataloader
+    from sports_field_homography_tpu.train.loop import (
+        LossConfig, init_train_state, make_train_step)
+    from sports_field_homography_tpu.train.optim import make_optimizer
+    from sports_field_homography_tpu.data.dataset import BasicDataset
+    from sports_field_homography_tpu.data.loader import Loader
+
+    class A:
+        batchsize = 4
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    ids = [f"gameA/{i:04d}.png" for i in range(4)]
+    kw = dict(num_classes=4, target_size=(W, H))
+    ds_f32 = BasicDataset(ids, str(dataset_root / "frames"),
+                          str(dataset_root / "masks"),
+                          str(dataset_root / "anno"), ["poi", "reproj_mse"],
+                          **kw)
+    ds_u8 = BasicDataset(ids, str(dataset_root / "frames"),
+                         str(dataset_root / "masks"),
+                         str(dataset_root / "anno"), ["poi", "reproj_mse"],
+                         raw_uint8=True, **kw)
+    b_f32 = next(iter(Loader(ds_f32, 4, num_workers=1)))
+    b_u8 = next(iter(Loader(ds_u8, 4, num_workers=1)))
+    assert b_u8["image"].dtype == np.uint8
+    assert b_f32["image"].dtype == np.float32
+    b_f32 = {k: v for k, v in b_f32.items()
+             if isinstance(v, np.ndarray) and k != "valid"}
+    b_u8 = {k: v for k, v in b_u8.items()
+            if isinstance(v, np.ndarray) and k != "valid"}
+
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
+                          consist_loss=None, batch_size=4)
+    optimizer = make_optimizer("Adam", 3e-4, 0.0)
+    step = make_train_step(bundle.model, optimizer, loss_cfg, with_grads=True)
+    _, logs1, g1 = jax.jit(step)(init_train_state(bundle.variables, optimizer),
+                                 b_f32, bundle.court_img, bundle.court_poi)
+    _, logs2, g2 = jax.jit(step)(init_train_state(bundle.variables, optimizer),
+                                 b_u8, bundle.court_img, bundle.court_poi)
+    # the normalized VALUES are exactly equal (u8/255 == host /255), so
+    # every loss matches bitwise; gradients agree only to cross-program
+    # tolerance (the uint8 program fuses the convert/divide into the
+    # backward convs, reordering the wgrad reductions — same tolerance
+    # class as the DP-vs-single comparison below).  Post-Adam params are
+    # NOT comparable at all: step-1 Adam is sign(g)-shaped, so any grad
+    # noise near g=0 moves a weight by 2*lr.
+    for k in logs1:
+        assert float(logs1[k]) == float(logs2[k]), (k, logs1[k], logs2[k])
+    # per-leaf relative L2: robust to individual near-cancellation elements
+    # (per-element tolerances fail on ~1e-5-of-the-leaf entries whose sums
+    # nearly cancel); noise-floor guard for true-zero grad leaves
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        na = np.linalg.norm(a)
+        if na < 1e-6:
+            continue    # true-zero grad leaf: both sides are pure f32 noise
+        rel = np.linalg.norm(a - b) / na
+        # bias/BN-beta grads sum ~1e4 near-cancelling summands, so the
+        # reordered program leaves ~0.2% on those leaves; a real
+        # normalization bug would already have failed the bitwise loss
+        # asserts above
+        assert rel < 1e-2, (a.shape, rel)
+
+    # default wiring: no aug -> uint8 train+val; aug -> float train, u8 val
+    tl, _, vl, _ = prepare_dataloader(
+        str(dataset_root / "frames"), str(dataset_root / "masks"),
+        str(dataset_root / "anno"), ["poi", "reproj_mse"], ["valgame"],
+        4, False, 4, (W, H), aug=None, only_ncaam=False)
+    assert next(iter(tl))["image"].dtype == np.uint8
+    assert next(iter(vl))["image"].dtype == np.uint8
+    aug = {"apperance": {"blur": 3}}
+    tl, _, vl, _ = prepare_dataloader(
+        str(dataset_root / "frames"), str(dataset_root / "masks"),
+        str(dataset_root / "anno"), ["poi", "reproj_mse"], ["valgame"],
+        4, False, 4, (W, H), aug=aug, only_ncaam=False)
+    assert next(iter(tl))["image"].dtype == np.float32
+    assert next(iter(vl))["image"].dtype == np.uint8
+    # forced: augmented frames quantized back to 8 bits
+    tl, _, _, _ = prepare_dataloader(
+        str(dataset_root / "frames"), str(dataset_root / "masks"),
+        str(dataset_root / "anno"), ["poi", "reproj_mse"], ["valgame"],
+        4, False, 4, (W, H), aug=aug, only_ncaam=False, uint8_inputs=1)
+    assert next(iter(tl))["image"].dtype == np.uint8
+
+
 def test_plateau_scheduler_matches_torch_semantics():
     from sports_field_homography_tpu.train.optim import ReduceLROnPlateau
 
