@@ -33,6 +33,10 @@ def main(argv=None):
                          "(default: current backend)")
     ap.add_argument("--dst", default=None,
                     help="artifact directory (default: <load>_serving)")
+    ap.add_argument("--poly_batch", action="store_true", default=False,
+                    help="export with a symbolic batch dimension: one "
+                         "artifact serves any batch size (--batchsize "
+                         "becomes the recommended size recorded in meta)")
     own, rest = ap.parse_known_args(argv)
 
     args = get_prediction_args(rest)
@@ -84,7 +88,7 @@ def main(argv=None):
     exported, meta = export_predict(
         bundle, consistency=consistency, project_poi=project_poi,
         keep=tuple(sorted(keep)), batch_size=args.batchsize,
-        platforms=platforms)
+        platforms=platforms, poly_batch=own.poly_batch)
 
     dst = own.dst
     if dst is None:

@@ -34,21 +34,34 @@ _META = "meta.json"
 def export_predict(bundle, consistency: bool, project_poi: bool,
                    keep: Optional[Sequence[str]], batch_size: int,
                    platforms: Optional[Sequence[str]] = None,
-                   input_dtype: str = "uint8"):
+                   input_dtype: str = "uint8",
+                   poly_batch: bool = False):
     """Export the jitted predict program with everything baked in.
 
     ``bundle``: a ``cli.engine.ModelBundle`` (params restored, BN folded as
     desired).  ``platforms``: lowering targets (e.g. ``["tpu"]``,
     ``["tpu", "cpu"]``); None = the current default backend.
 
+    ``poly_batch``: export with a SYMBOLIC batch dimension — ONE artifact
+    serves any batch size (the runtime specializes/compiles per concrete
+    batch at call time).  The court constants enter the program batch-1
+    and broadcast (models/reconstructor._match_batch); ``batch_size`` is
+    recorded in meta as the recommended size only.
+
     Returns ``(jax.export.Exported, meta dict)``.
     """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
 
     from ..cli.engine import jit_predict_fn
 
+    if poly_batch:
+        bundle = dataclasses.replace(
+            bundle, court_img=np.asarray(bundle.court_img)[:1],
+            court_poi=np.asarray(bundle.court_poi)[:1])
     fn = jit_predict_fn(bundle, consistency=consistency,
                         project_poi=project_poi,
                         keep=tuple(keep) if keep is not None else None)
@@ -60,7 +73,11 @@ def export_predict(bundle, consistency: bool, project_poi: bool,
 
     w, h = bundle.config.target_size
     dtype = {"uint8": jnp.uint8, "float32": jnp.float32}[input_dtype]
-    x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), dtype)
+    if poly_batch:
+        (b,) = jax_export.symbolic_shape("b")
+        x_spec = jax.ShapeDtypeStruct((b, h, w, 3), dtype)
+    else:
+        x_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), dtype)
 
     exported = jax_export.export(
         serve, platforms=tuple(platforms) if platforms else None)(x_spec)
@@ -72,8 +89,11 @@ def export_predict(bundle, consistency: bool, project_poi: bool,
         "calling_convention_version":
             int(exported.calling_convention_version),
         "platforms": list(exported.platforms),
-        "input": {"shape": [batch_size, h, w, 3], "dtype": input_dtype,
+        "input": {"shape": ["b" if poly_batch else batch_size, h, w, 3],
+                  "dtype": input_dtype,
                   "layout": "NHWC",
+                  "poly_batch": bool(poly_batch),
+                  "recommended_batch": int(batch_size),
                   "note": "uint8 inputs are normalized (x/255) in-program"},
         "outputs": list(out_names),
         "config": {

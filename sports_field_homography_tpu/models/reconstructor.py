@@ -113,6 +113,18 @@ class ReconstructorConfig:
                 Input.IMG_AND_MASK_AND_UV: self.mask_classes + 5}[mode]
 
 
+def _match_batch(const: jnp.ndarray, n) -> jnp.ndarray:
+    """Slice a batch-replicated court constant to the live batch size.
+
+    Batch-1 constants pass through unsliced and broadcast downstream —
+    this is what makes the model exportable with a SYMBOLIC batch
+    dimension (compat/serving ``poly_batch``): ``const[:n]`` with a
+    symbolic ``n`` cannot be proven in-bounds against a fixed-size
+    constant, but shape-(1, ...) constants broadcast against any ``n``.
+    """
+    return const if const.shape[0] == 1 else const[:n]
+
+
 def _select_pallas_conv(kernel: str) -> str:
     """Static DoubleConv kernel choice.  "auto" currently resolves to the
     XLA path; flip after the fused train-step measurement lands (the fused
@@ -199,7 +211,7 @@ class Reconstructor(nn.Module):
         """
         cfg = self.config
         bs = theta.shape[0]
-        template = court_img[:bs]
+        template = _match_batch(court_img, bs)
         mode = "nearest" if (cfg.warp_with_nearest if nearest is None else nearest) \
             else "bilinear"
         w, h = cfg.warp_size
@@ -216,6 +228,11 @@ class Reconstructor(nn.Module):
                 return warp_nearest_interval(warp_table, theta, (h, w))
             return warp_bilinear_interval(warp_table, theta, (h, w))
         src = template.astype(jnp.float32)
+        if src.shape[0] == 1:
+            # batch-1 court constant (poly-batch export): broadcast to the
+            # live batch for the gather samplers (the interval warps above
+            # are template-batch-free already)
+            src = jnp.broadcast_to(src, (bs,) + src.shape[1:])
         if mode == "nearest" and cfg.fast_warp:
             out = warp_homography_nearest_2pass(src, theta, (h, w))
         else:
@@ -240,7 +257,8 @@ class Reconstructor(nn.Module):
             y = self._stn_input(x, logits, uv)
             theta = self.resnet_reg(y, train)
             ret["theta"] = theta
-            ret["poi"] = transform_poi(theta, court_poi[:theta.shape[0]])
+            ret["poi"] = transform_poi(
+                theta, _match_batch(court_poi, theta.shape[0]))
             if cfg.use_warper:
                 # training uses bilinear: nearest is flagged buggy in the
                 # reference during training (models/reconstructor.py:104-105)
@@ -303,5 +321,6 @@ class Reconstructor(nn.Module):
                     ret["consist_score"] = jnp.mean(scores, axis=(1, 2))
                 ret["warp_mask"] = warp_mask.astype(jnp.int32)
             if project_poi:
-                ret["poi"] = transform_poi(theta, court_poi[:theta.shape[0]])
+                ret["poi"] = transform_poi(
+                    theta, _match_batch(court_poi, theta.shape[0]))
         return ret

@@ -61,6 +61,47 @@ def test_export_roundtrip_bit_equal(tmp_path):
     assert served["warp_mask"].dtype == np.uint8
 
 
+def test_export_poly_batch(tmp_path):
+    """A --poly_batch artifact (symbolic batch dim) serves ANY batch size,
+    bit-equal to the live model per batch; batch-1 court constants
+    broadcast identically to the batch-replicated path."""
+    import dataclasses
+
+    bundle = build_model(_Args, warp_with_nearest=True)
+    keep = ("consist_score", "theta", "poi", "warp_mask")
+    exported, meta = export_predict(
+        bundle, consistency=True, project_poi=True, keep=keep,
+        batch_size=2, input_dtype="uint8", poly_batch=True)
+    save_serving(str(tmp_path / "poly"), exported, meta)
+
+    fn, meta2 = load_serving(str(tmp_path / "poly"))
+    assert meta2["input"]["shape"] == ["b", H, W, 3]
+    assert meta2["input"]["poly_batch"] is True
+
+    # live reference with batch-1 constants (what the artifact bakes in)
+    b1 = dataclasses.replace(bundle,
+                             court_img=np.asarray(bundle.court_img)[:1],
+                             court_poi=np.asarray(bundle.court_poi)[:1])
+    live1 = jit_predict_fn(b1, consistency=True, project_poi=True, keep=keep)
+    # and the ordinary batch-replicated live path as the semantics anchor
+    live2 = jit_predict_fn(bundle, consistency=True, project_poi=True,
+                           keep=keep)
+    for b in (2, 5):
+        x = np.random.RandomState(b).randint(0, 255, (b, H, W, 3), np.uint8)
+        out = jax.device_get(fn(x))
+        assert out["theta"].shape == (b, 1, 3, 3)
+        live = jax.device_get(live1(b1.variables, x))
+        for k in live:
+            np.testing.assert_array_equal(np.asarray(out[k]),
+                                          np.asarray(live[k]), err_msg=k)
+        if b == 2:      # broadcast == replicate, bitwise
+            anchor = jax.device_get(live2(bundle.variables, x))
+            for k in anchor:
+                np.testing.assert_array_equal(
+                    np.asarray(out[k]), np.asarray(anchor[k]),
+                    err_msg=f"replicated-{k}")
+
+
 def test_export_cli(tmp_path):
     cp_dir = tmp_path / "ckpt"
     cp_dir.mkdir()
