@@ -82,8 +82,13 @@ def export_predict(bundle, consistency: bool, project_poi: bool,
     exported = jax_export.export(
         serve, platforms=tuple(platforms) if platforms else None)(x_spec)
 
-    out_names = sorted(exported.out_tree.unflatten(
-        [None] * exported.out_tree.num_leaves))
+    # flattened-order output names: unflatten indices through the out_tree
+    idx_by_name = exported.out_tree.unflatten(
+        range(exported.out_tree.num_leaves))
+    flat_names = [None] * exported.out_tree.num_leaves
+    for name, i in idx_by_name.items():
+        flat_names[i] = name
+    out_names = sorted(flat_names)
     meta = {
         "format": "jax.export/stablehlo",
         "calling_convention_version":
@@ -107,15 +112,55 @@ def export_predict(bundle, consistency: bool, project_poi: bool,
             "project_poi": bool(project_poi),
         },
     }
+    meta["_flat_outputs"] = [
+        {"name": n, "dtype": str(a.dtype), "shape": [str(d) for d in a.shape]}
+        for n, a in zip(flat_names, exported.out_avals)]
+    meta["_input_spec"] = {"dtype": input_dtype,
+                           "shape": [str(d) for d in x_spec.shape]}
     return exported, meta
 
 
 def save_serving(dst_dir: str, exported, meta: dict) -> str:
+    """Write the artifact directory.
+
+    Always: ``program.shlo`` (jax.export serialization; load_serving) +
+    ``meta.json``.  For fixed-batch artifacts, additionally the sidecars
+    the C++ PJRT runtime (``cpp/pjrt_serve.cc``) consumes directly —
+    no Python anywhere:
+      * ``module.mlir.bc``      — raw StableHLO bytecode of the program
+      * ``compile_options.pb``  — serialized xla.CompileOptionsProto
+      * ``io_spec.txt``         — one line per argument/result:
+        ``input <dtype> <d0,d1,...>`` / ``output <name> <dtype> <dims>``
+        in the program's flattened calling order.
+    (Symbolic-batch artifacts skip the sidecars: PJRT compiles concrete
+    shapes; use jax's load_serving for those.)
+    """
+    meta = dict(meta)
+    flat_outputs = meta.pop("_flat_outputs", None)
+    input_spec = meta.pop("_input_spec", None)
     os.makedirs(dst_dir, exist_ok=True)
     with open(os.path.join(dst_dir, _PROGRAM), "wb") as f:
         f.write(exported.serialize())
     with open(os.path.join(dst_dir, _META), "w") as f:
         json.dump(meta, f, indent=2)
+
+    poly = bool(meta.get("input", {}).get("poly_batch"))
+    if not poly and flat_outputs is not None and input_spec is not None:
+        with open(os.path.join(dst_dir, "module.mlir.bc"), "wb") as f:
+            f.write(exported.mlir_module_serialized)
+        from jax._src.lib import xla_client
+        co = xla_client.CompileOptions()
+        co.num_replicas = 1
+        co.num_partitions = 1
+        with open(os.path.join(dst_dir, "compile_options.pb"), "wb") as f:
+            f.write(co.SerializeAsString())
+        lines = ["input {} {}".format(input_spec["dtype"],
+                                      ",".join(input_spec["shape"]))]
+        for o in flat_outputs:
+            lines.append("output {} {} {}".format(
+                o["name"], o["dtype"], ",".join(o["shape"])))
+        with open(os.path.join(dst_dir, "io_spec.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
     return dst_dir
 
 
