@@ -16,6 +16,11 @@
 // Usage:
 //   pjrt_serve <artifact_dir> <input.bin> <out_dir> \
 //       [--plugin /opt/axon/libaxon_pjrt.so] [--opt key=value ...] [--time]
+//       [--iters N]
+//
+// --iters N re-executes the program N times (fresh output buffers each
+// round, last round's outputs written) and reports steady-state ms/batch
+// — a pure-C++ throughput measurement with no Python dispatch overhead.
 //
 // --opt values are PJRT_Client_Create named options; integers are passed
 // as kInt64, everything else as kString.  For the axon TPU plugin pass:
@@ -163,6 +168,7 @@ int main(int argc, char** argv) {
   std::string plugin = "/opt/axon/libaxon_pjrt.so";
   std::vector<std::pair<std::string, std::string>> raw_opts;
   bool time_exec = false;
+  int iters = 1;
   std::vector<std::string> pos;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -178,6 +184,9 @@ int main(int argc, char** argv) {
       raw_opts.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
     } else if (a == "--time") {
       time_exec = true;
+    } else if (a == "--iters" && i + 1 < argc) {
+      iters = atoi(argv[++i]);
+      if (iters < 1) iters = 1;
     } else {
       pos.push_back(a);
     }
@@ -335,31 +344,97 @@ int main(int argc, char** argv) {
   PJRT_Buffer** out_list = out_buf.data();
   PJRT_Buffer* const arg_list[] = {in_buf};
   PJRT_Buffer* const* const arg_lists[] = {arg_list};
-  PJRT_Event* done = nullptr;
 
   PJRT_ExecuteOptions eo;
   memset(&eo, 0, sizeof eo);
   eo.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+  // the input is reused across --iters rounds: forbid donation
+  static const int64_t kNonDonatable[] = {0};
+  eo.non_donatable_input_indices = kNonDonatable;
+  eo.num_non_donatable_input_indices = 1;
 
-  PJRT_LoadedExecutable_Execute_Args ex;
-  memset(&ex, 0, sizeof ex);
-  ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-  ex.executable = exec;
-  ex.options = &eo;
-  ex.argument_lists = arg_lists;
-  ex.num_devices = 1;
-  ex.num_args = 1;
-  ex.output_lists = &out_list;
-  ex.device_complete_events = &done;
+  // Dispatch one round.  ``keep_outputs`` writes the round's output
+  // buffers into out_buf (for the final round); intermediate rounds park
+  // their buffers in ``scratch`` and are destroyed AFTER timing —
+  // destroying an in-flight buffer can block on its producing execution,
+  // which would serialize the queue.
+  std::vector<PJRT_Buffer*> scratch;
+  auto run_once = [&](bool keep_outputs, PJRT_Event** done_out) -> bool {
+    PJRT_Event* done = nullptr;
+    std::vector<PJRT_Buffer*> bufs(num_outputs, nullptr);
+    PJRT_Buffer** list = keep_outputs ? out_list : bufs.data();
+    PJRT_LoadedExecutable_Execute_Args ex;
+    memset(&ex, 0, sizeof ex);
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = exec;
+    ex.options = &eo;
+    ex.argument_lists = arg_lists;
+    ex.num_devices = 1;
+    ex.num_args = 1;
+    ex.output_lists = &list;
+    ex.device_complete_events = done_out != nullptr ? &done : nullptr;
+    if (!CheckError(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute"))
+      return false;
+    if (done_out != nullptr) *done_out = done;
+    if (!keep_outputs)
+      scratch.insert(scratch.end(), bufs.begin(), bufs.end());
+    return true;
+  };
 
+  // warmup round (also the only round when iters == 1)
+  PJRT_Event* done = nullptr;
   auto t2 = std::chrono::steady_clock::now();
-  if (!CheckError(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute"))
-    return 1;
+  if (!run_once(/*keep_outputs=*/iters == 1, &done)) return 1;
   if (!AwaitEvent(done, "execution")) return 1;
   auto t3 = std::chrono::steady_clock::now();
   if (time_exec)
     fprintf(stderr, "pjrt_serve: executed in %.1f ms\n",
             std::chrono::duration<double, std::milli>(t3 - t2).count());
+  if (iters > 1) {
+    // queue all rounds, sync once: steady-state pipelined ms/batch (the
+    // same protocol as bench.py / the serving latency sweep)
+    auto tb0 = std::chrono::steady_clock::now();
+    PJRT_Event* last = nullptr;
+    for (int i = 0; i < iters - 1; ++i) {
+      bool is_last = i == iters - 2;
+      if (!run_once(/*keep_outputs=*/is_last, is_last ? &last : nullptr))
+        return 1;
+    }
+    if (!AwaitEvent(last, "final execution")) return 1;
+    // a D2H fetch of the last round's first output forces a REAL sync:
+    // on relayed/tunneled runtimes the completion event can resolve
+    // before the device finishes small programs (see CLAUDE.md), but a
+    // host copy is a data dependency on the actual result
+    {
+      PJRT_Buffer_ToHostBuffer_Args th;
+      memset(&th, 0, sizeof th);
+      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      th.src = out_buf[0];
+      if (!CheckError(g_api->PJRT_Buffer_ToHostBuffer(&th), "sync size"))
+        return 1;
+      std::vector<char> sink(th.dst_size);
+      th.dst = sink.data();
+      if (!CheckError(g_api->PJRT_Buffer_ToHostBuffer(&th), "sync fetch"))
+        return 1;
+      if (!AwaitEvent(th.event, "sync fetch")) return 1;
+    }
+    auto tb1 = std::chrono::steady_clock::now();
+    double ms = std::chrono::duration<double, std::milli>(tb1 - tb0).count() /
+                (iters - 1);
+    fprintf(stderr,
+            "pjrt_serve: steady-state %.2f ms/batch over %d iters "
+            "(%.1f inputs/s at batch %lld)\n",
+            ms, iters - 1, 1e3 / ms * (double)input.dims[0],
+            (long long)input.dims[0]);
+    for (PJRT_Buffer* b : scratch) {
+      if (b == nullptr) continue;
+      PJRT_Buffer_Destroy_Args bd;
+      memset(&bd, 0, sizeof bd);
+      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      bd.buffer = b;
+      CheckError(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy(scratch)");
+    }
+  }
 
   // ---- outputs -------------------------------------------------------------
   std::string manifest;
