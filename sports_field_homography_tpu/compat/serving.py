@@ -132,8 +132,9 @@ def save_serving(dst_dir: str, exported, meta: dict) -> str:
       * ``io_spec.txt``         — one line per argument/result:
         ``input <dtype> <d0,d1,...>`` / ``output <name> <dtype> <dims>``
         in the program's flattened calling order.
-    (Symbolic-batch artifacts skip the sidecars: PJRT compiles concrete
-    shapes; use jax's load_serving for those.)
+    (Symbolic-batch and multi-platform artifacts skip the sidecars: PJRT
+    compiles concrete single-platform programs; use jax's load_serving
+    for those.)
     """
     meta = dict(meta)
     flat_outputs = meta.pop("_flat_outputs", None)
@@ -145,7 +146,12 @@ def save_serving(dst_dir: str, exported, meta: dict) -> str:
         json.dump(meta, f, indent=2)
 
     poly = bool(meta.get("input", {}).get("poly_batch"))
-    if not poly and flat_outputs is not None and input_spec is not None:
+    # multi-platform modules take a leading platform-index argument in the
+    # raw MLIR (jax.export calling convention), which the single-input C++
+    # runtime does not speak — sidecars are single-platform, fixed-batch
+    multi = len(meta.get("platforms", [])) > 1
+    if not poly and not multi and flat_outputs is not None \
+            and input_spec is not None:
         with open(os.path.join(dst_dir, "module.mlir.bc"), "wb") as f:
             f.write(exported.mlir_module_serialized)
         from jax._src.lib import xla_client

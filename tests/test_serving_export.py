@@ -132,8 +132,30 @@ def test_export_cli(tmp_path):
     meta = json.load(open(art / "meta.json"))
     assert sorted(meta["outputs"]) == ["consist_score", "theta"]
 
+    # fixed-batch single-platform artifacts carry the C++ runtime sidecars
+    for f in ("module.mlir.bc", "compile_options.pb", "io_spec.txt"):
+        assert (art / f).exists(), f
+    spec = (art / "io_spec.txt").read_text().splitlines()
+    assert spec[0] == f"input uint8 2,{H},{W},3"
+
     fn, _ = load_serving(str(art))
     x = np.random.RandomState(3).randint(0, 255, (2, H, W, 3), np.uint8)
     out = jax.device_get(fn(x))
     assert out["theta"].shape == (2, 1, 3, 3)
     assert np.isfinite(np.asarray(out["consist_score"], np.float32)).all()
+
+    # --poly_batch through the CLI: symbolic batch recorded, sidecars
+    # (fixed-shape-only) skipped
+    mod.main(["--load", str(cp_dir / "CP_epoch1.msgpack"),
+              "--req_outputs", "theta,consistency",
+              "--batchsize", "2", "--out_size", str(W), str(H),
+              "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+              "--compute_dtype", "float32",
+              "--poly_batch", "--dst", str(tmp_path / "poly_cli")])
+    meta = json.load(open(tmp_path / "poly_cli" / "meta.json"))
+    assert meta["input"]["poly_batch"] is True
+    assert not os.path.exists(tmp_path / "poly_cli" / "module.mlir.bc")
+    fn, _ = load_serving(str(tmp_path / "poly_cli"))
+    out = jax.device_get(fn(np.random.RandomState(5).randint(
+        0, 255, (3, H, W, 3), np.uint8)))
+    assert out["theta"].shape == (3, 1, 3, 3)
