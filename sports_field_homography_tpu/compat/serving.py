@@ -48,6 +48,14 @@ def export_predict(bundle, consistency: bool, project_poi: bool,
     and broadcast (models/reconstructor._match_batch); ``batch_size`` is
     recorded in meta as the recommended size only.
 
+    Weight storage: when the model computes in bfloat16, the baked float
+    params are stored as bf16 — **bit-identical outputs on TPU** (the
+    MXU rounds params to bf16 at use either way; measured exactly equal
+    on the flagship config, theta/score/poi max-abs-diff 0.0) at half
+    the artifact size.  CPU backends may elide the cast into the conv
+    and keep extra precision (~1e-6 deltas).  f32-compute models keep
+    f32 weights.
+
     Returns ``(jax.export.Exported, meta dict)``.
     """
     import dataclasses
@@ -62,6 +70,14 @@ def export_predict(bundle, consistency: bool, project_poi: bool,
         bundle = dataclasses.replace(
             bundle, court_img=np.asarray(bundle.court_img)[:1],
             court_poi=np.asarray(bundle.court_poi)[:1])
+    weights_dtype = "float32"
+    if bundle.model.dtype == jnp.bfloat16:
+        weights_dtype = "bfloat16"
+        host = jax.device_get(bundle.variables)
+        cast = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else a, host)
+        bundle = dataclasses.replace(bundle, variables=cast)
     fn = jit_predict_fn(bundle, consistency=consistency,
                         project_poi=project_poi,
                         keep=tuple(keep) if keep is not None else None)
@@ -94,6 +110,7 @@ def export_predict(bundle, consistency: bool, project_poi: bool,
         "calling_convention_version":
             int(exported.calling_convention_version),
         "platforms": list(exported.platforms),
+        "weights_dtype": weights_dtype,
         "input": {"shape": ["b" if poly_batch else batch_size, h, w, 3],
                   "dtype": input_dtype,
                   "layout": "NHWC",

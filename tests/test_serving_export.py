@@ -61,6 +61,38 @@ def test_export_roundtrip_bit_equal(tmp_path):
     assert served["warp_mask"].dtype == np.uint8
 
 
+def test_export_bf16_weights_bit_equal(tmp_path):
+    """bf16-compute exports store bf16 weights (half the artifact).
+
+    On TPU this is BIT-identical to serving the f32 params (measured
+    max-abs-diff 0.0 on the flagship config — the MXU rounds params to
+    bf16 at use either way).  On the CPU backend XLA may elide the
+    f32->bf16 cast into the conv and keep extra precision, so this
+    CPU-run test asserts a ~1e-5 envelope rather than bit equality."""
+
+    class B(_Args):
+        compute_dtype = "bfloat16"
+
+    bundle = build_model(B, warp_with_nearest=True)
+    keep = ("consist_score", "theta")
+    exported, meta = export_predict(
+        bundle, consistency=True, project_poi=False, keep=keep,
+        batch_size=2, input_dtype="uint8")
+    assert meta["weights_dtype"] == "bfloat16"
+    save_serving(str(tmp_path / "bf16"), exported, meta)
+
+    fn, _ = load_serving(str(tmp_path / "bf16"))
+    x = np.random.RandomState(9).randint(0, 255, (2, H, W, 3), np.uint8)
+    served = jax.device_get(fn(x))
+    live_fn = jit_predict_fn(bundle, consistency=True, project_poi=False,
+                             keep=keep)
+    live = jax.device_get(live_fn(bundle.variables, x))
+    for k in live:
+        np.testing.assert_allclose(np.asarray(served[k], np.float32),
+                                   np.asarray(live[k], np.float32),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_export_poly_batch(tmp_path):
     """A --poly_batch artifact (symbolic batch dim) serves ANY batch size,
     bit-equal to the live model per batch; batch-1 court constants
