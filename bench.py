@@ -11,6 +11,10 @@ vs_baseline divides by the reference operating point: V100 batch-18 fp32
 estimate for that configuration (V100 ~15.7 TF fp32 against ~170
 GFLOP/frame at realistic utilization — see BASELINE.md).  The north-star
 target is vs_baseline >= 4.
+
+``build_flagship_predict`` is the shared harness (also used by
+scripts/bench_serving_latency.py) so every published number runs the
+same program and protocol.
 """
 import json
 import os
@@ -20,20 +24,29 @@ import time
 V100_BATCH18_FPS_ESTIMATE = 70.0
 
 
-def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       ".jax_cache"))
+def build_flagship_predict(batch, conv_kernel=None, fold_bn=True):
+    """The flagship predict program + its device-resident arguments.
+
+    Returns ``(predict, variables, x, ci, cp, wt)`` where ``predict`` is
+    the jitted theta+consistency program (static output pruning, exactly
+    the predict CLI's config-#1 body) and the rest are its arguments —
+    params committed to device ONCE (host params as jit args re-upload
+    ~100 MB per dispatch on tunneled runtimes), court constants and the
+    interval warp table device-put, input ``x`` random f32.
+    """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _flagship
+    import numpy as np
 
-    batch = 32
+    from __graft_entry__ import _flagship
+    from sports_field_homography_tpu.ops.interval_warp import (
+        build_interval_table)
+
     model, court_img, court_poi, cfg = _flagship(batch, dtype=jnp.bfloat16)
-    if "--conv_kernel" in sys.argv:
-        import dataclasses
-        ck = sys.argv[sys.argv.index("--conv_kernel") + 1]
-        cfg = dataclasses.replace(cfg, conv_kernel=ck)
+    if conv_kernel is not None:
+        cfg = dataclasses.replace(cfg, conv_kernel=conv_kernel)
         model = model.clone(config=cfg)
     w, h = cfg.target_size
     rng = jax.random.PRNGKey(0)
@@ -41,22 +54,17 @@ def main():
     variables = jax.jit(lambda: model.init(rng, x[:1], court_img[:1],
                                            court_poi[:1], train=False))()
 
-    import numpy as np
-    from sports_field_homography_tpu.ops.interval_warp import build_interval_table
-
-    if "--no_fold_bn" not in sys.argv:
+    if fold_bn:
         # production predict folds BN into the conv weights (exactly
         # equivalent at inference; ops/fold_bn.py) and skips the
         # normalization in the graph
         from sports_field_homography_tpu.ops.fold_bn import fold_batchnorm
-        # fold returns host numpy; commit to device ONCE (host params as
-        # jit args re-upload ~100 MB per dispatch on the tunnel)
         variables = jax.device_put(fold_batchnorm(jax.device_get(variables)))
         model = model.clone(bn_folded=True)
 
-    court_img = jax.device_put(court_img)
-    court_poi = jax.device_put(court_poi)
-    warp_table = build_interval_table(np.asarray(court_img))
+    ci = jax.device_put(court_img)
+    cp = jax.device_put(court_poi)
+    wt = build_interval_table(np.asarray(court_img))
 
     @jax.jit
     def predict(variables, x, ci, cp, wt):
@@ -66,14 +74,31 @@ def main():
         # static output pruning, same as the predict CLI for this config
         return {"theta": preds["theta"], "consist_score": preds["consist_score"]}
 
+    return predict, variables, x, ci, cp, wt
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+    import jax
+
+    batch = 32
+    conv_kernel = None
+    if "--conv_kernel" in sys.argv:
+        conv_kernel = sys.argv[sys.argv.index("--conv_kernel") + 1]
+    predict, variables, x, ci, cp, wt = build_flagship_predict(
+        batch, conv_kernel=conv_kernel,
+        fold_bn="--no_fold_bn" not in sys.argv)
+
     # warmup / compile
-    out = predict(variables, x, court_img, court_poi, warp_table)
+    out = predict(variables, x, ci, cp, wt)
     jax.block_until_ready(out)
 
     if "--profile" in sys.argv:
         from sports_field_homography_tpu.utils.profiling import trace
         with trace("/tmp/sfh_profile"):
-            out = predict(variables, x, court_img, court_poi, warp_table)
+            out = predict(variables, x, ci, cp, wt)
             jax.block_until_ready(out)
         print("trace written to /tmp/sfh_profile", file=sys.stderr)
 
@@ -85,7 +110,7 @@ def main():
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            out = predict(variables, x, court_img, court_poi, warp_table)
+            out = predict(variables, x, ci, cp, wt)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         fps = max(fps, batch * n_iters / dt)

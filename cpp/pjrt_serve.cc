@@ -320,6 +320,37 @@ int main(int argc, char** argv) {
   fprintf(stderr, "pjrt_serve: compiled in %.1f s\n",
           std::chrono::duration<double>(t1 - t0).count());
 
+  // validate io_spec.txt against the compiled program: a stale/edited
+  // spec must be a clean error, not an out-of-bounds write into the
+  // caller-sized output list
+  {
+    PJRT_LoadedExecutable_GetExecutable_Args ge;
+    memset(&ge, 0, sizeof ge);
+    ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ge.loaded_executable = exec;
+    if (!CheckError(g_api->PJRT_LoadedExecutable_GetExecutable(&ge),
+                    "GetExecutable"))
+      return 1;
+    PJRT_Executable_NumOutputs_Args no;
+    memset(&no, 0, sizeof no);
+    no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    no.executable = ge.executable;
+    if (!CheckError(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs"))
+      return 1;
+    PJRT_Executable_Destroy_Args xd;
+    memset(&xd, 0, sizeof xd);
+    xd.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
+    xd.executable = ge.executable;
+    CheckError(g_api->PJRT_Executable_Destroy(&xd), "Executable_Destroy");
+    if (no.num_outputs != outputs.size()) {
+      fprintf(stderr,
+              "pjrt_serve: io_spec.txt lists %zu outputs but the program "
+              "produces %zu — stale artifact?\n",
+              outputs.size(), no.num_outputs);
+      return 1;
+    }
+  }
+
   // ---- input buffer --------------------------------------------------------
   PJRT_Client_BufferFromHostBuffer_Args hb;
   memset(&hb, 0, sizeof hb);

@@ -192,11 +192,12 @@ def process(argv=None, num_data_workers: int = 4):
         # inference too — batch 18 runs batch-24 tiles (81.9 ms vs batch
         # 16's 61.5 ms, i.e. 220 vs 260 fps; see BASELINE.md serving sweep)
         nxt = args.batchsize + 8 - args.batchsize % 8
+        down = args.batchsize - args.batchsize % 8
+        alts = f"Batch {down} or {nxt}" if down >= 8 else f"Batch {nxt}"
         logger.info(
             f"NOTE: batch size {args.batchsize} is not a multiple of 8; on "
-            f"TPU it computes like batch {nxt} (sublane padding). Batch "
-            f"{max(args.batchsize - args.batchsize % 8, 8)} or {nxt} "
-            f"predicts strictly faster per frame.")
+            f"TPU it computes like batch {nxt} (sublane padding). "
+            f"{alts} predicts strictly faster per frame.")
 
     bundle = build_model(args, load=args.load, warp_with_nearest=True,
                          fold_bn=bool(getattr(args, "fold_bn", 1)))

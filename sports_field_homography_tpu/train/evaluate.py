@@ -20,10 +20,10 @@ from ..models.losses import (
     reprojection_loss,
 )
 
-__all__ = ["make_eval_step", "eval_reconstructor"]
+__all__ = ["make_eval_step", "eval_reconstructor", "norm_img"]
 
 
-def _norm_img(img):
+def norm_img(img):
     """Device-side u8/255 normalization (no-op for float inputs)."""
     img = jnp.asarray(img)
     if img.dtype == jnp.uint8:
@@ -54,11 +54,7 @@ def make_eval_step(model, court_img, court_poi, target_size,
 
     @jax.jit
     def _step(variables, batch, ci, cp, wt) -> Dict[str, jnp.ndarray]:
-        img = batch["image"]
-        if img.dtype == jnp.uint8:
-            # device-side u8/255 normalization (bit-identical, 4x less H2D)
-            img = img.astype(jnp.float32) / 255.0
-        preds = model.apply(variables, img, ci, cp,
+        preds = model.apply(variables, norm_img(batch["image"]), ci, cp,
                             train=False, warp_table=wt)
         out: Dict[str, jnp.ndarray] = {}
         logits = preds.get("logits")
@@ -191,7 +187,7 @@ def eval_net(model, variables, loader, n_classes: int,
     tot = 0.0
     n_val = 0
     for batch in loader:
-        logits = model.apply(variables, _norm_img(batch["image"]), train=False)
+        logits = model.apply(variables, norm_img(batch["image"]), train=False)
         mask = jnp.asarray(batch["mask"])
         if n_classes > 1:
             tot += float(jnp.mean(cross_entropy_map(logits, mask.astype(jnp.int32))))
@@ -209,7 +205,7 @@ def eval_stn(model, variables, loader, template, n_classes: int):
     ce_score = mse_score = 0.0
     n_val = 0
     for batch in loader:
-        logits, proj = model.apply(variables, _norm_img(batch["image"]),
+        logits, proj = model.apply(variables, norm_img(batch["image"]),
                                    template, train=False)
         mask_i = jnp.asarray(batch["mask"]).astype(jnp.int32)
         ce_score += float(jnp.mean(cross_entropy_map(logits, mask_i)))

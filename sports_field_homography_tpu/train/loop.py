@@ -34,7 +34,7 @@ from ..models.losses import (
     smooth_l1_map,
 )
 from ..utils.checkpoint import save_checkpoint
-from .evaluate import eval_reconstructor, make_eval_step
+from .evaluate import eval_reconstructor, make_eval_step, norm_img
 from .optim import ReduceLROnPlateau, current_learning_rate, make_optimizer, set_learning_rate
 
 __all__ = ["TrainState", "LossConfig", "make_loss_fn", "make_train_step",
@@ -88,11 +88,9 @@ def make_loss_fn(model, loss_cfg: LossConfig):
     def loss_fn(params, batch_stats, batch, step_no, court_img, court_poi,
                 warp_table):
         variables = {"params": params, "batch_stats": batch_stats}
-        img = batch["image"]
-        if img.dtype == jnp.uint8:
-            # uint8 ships 4x less over the host->device link; u8/255 here
-            # is bit-identical to the host-side /255 float path
-            img = img.astype(jnp.float32) / 255.0
+        # uint8 frames ship 4x less over the host->device link; u8/255 on
+        # device is bit-identical to the host-side /255 float path
+        img = norm_img(batch["image"])
         preds, mutated = model.apply(variables, img, court_img,
                                      court_poi, train=True,
                                      warp_table=warp_table,

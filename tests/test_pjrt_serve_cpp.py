@@ -56,7 +56,9 @@ class _Args:
 
 def test_cpp_runtime_serves_tpu_artifact(tmp_path):
     binary = os.path.join(REPO, "cpp", "pjrt_serve")
-    if not os.path.exists(binary):
+    source = os.path.join(REPO, "cpp", "pjrt_serve.cc")
+    if (not os.path.exists(binary)
+            or os.path.getmtime(binary) < os.path.getmtime(source)):
         subprocess.run(["bash", os.path.join(REPO, "cpp",
                                              "build_pjrt_serve.sh")],
                        check=True, capture_output=True, text=True)
