@@ -12,9 +12,10 @@ COPY pyproject.toml ./
 COPY sports_field_homography_tpu ./sports_field_homography_tpu
 COPY assets ./assets
 COPY scripts ./scripts
-# C++ PJRT serving runtime source; build on hosts that serve exported
-# artifacts natively (needs g++ + the PJRT C API header — see
-# cpp/build_pjrt_serve.sh; not built here to keep the image slim)
+# C++ PJRT serving runtimes (pjrt_serve: tensor-in/tensor-out artifact
+# server; pjrt_predict: full frames->JSON pipeline, links OpenCV); build
+# on hosts that serve exported artifacts natively (needs g++ + the PJRT
+# C API header — see cpp/build.sh; not built here to keep the image slim)
 COPY cpp ./cpp
 COPY predict.py train.py test.py viz_preds.py bench.py ./
 

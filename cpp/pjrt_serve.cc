@@ -9,9 +9,10 @@
 // (reference predict.py:195-208 unpickles a .pth into torch model code):
 // here the entire model — weights, court constants, interval warp table,
 // uint8 normalization — is inside one compiled program, and the runtime is
-// ~500 lines of C++ against the PJRT C API.  The same binary drives any
-// PJRT backend: the real TPU via libaxon_pjrt.so / libtpu.so, or a CPU
-// plugin where available.
+// a few hundred lines of C++ against the PJRT C API.  The same binary
+// drives any PJRT backend: the real TPU via libaxon_pjrt.so / libtpu.so,
+// or a CPU plugin where available.  For the full frames->JSON pipeline
+// (decode, batching, writers) see pjrt_predict.cc.
 //
 // Usage:
 //   pjrt_serve <artifact_dir> <input.bin> <out_dir> \
@@ -28,9 +29,6 @@
 //   --opt session_id=<fresh> --opt rank=4294967295
 // (and set AXON_POOL_SVC_OVERRIDE/AXON_LOOPBACK_RELAY in the env — see
 // docs/DEPLOYMENT.md).
-#include <dlfcn.h>
-#include <unistd.h>
-
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -40,128 +38,12 @@
 #include <string>
 #include <vector>
 
-#include "xla/pjrt/c/pjrt_c_api.h"
+#include "pjrt_common.h"
 
-namespace {
-
-const PJRT_Api* g_api = nullptr;
-
-bool CheckError(PJRT_Error* err, const char* what) {
-  if (err == nullptr) return true;
-  PJRT_Error_Message_Args m;
-  memset(&m, 0, sizeof m);
-  m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
-  m.error = err;
-  g_api->PJRT_Error_Message(&m);
-  fprintf(stderr, "pjrt_serve: %s failed: %.*s\n", what, (int)m.message_size,
-          m.message);
-  PJRT_Error_Destroy_Args d;
-  memset(&d, 0, sizeof d);
-  d.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
-  d.error = err;
-  g_api->PJRT_Error_Destroy(&d);
-  return false;
-}
-
-bool AwaitEvent(PJRT_Event* ev, const char* what) {
-  if (ev == nullptr) return true;
-  PJRT_Event_Await_Args a;
-  memset(&a, 0, sizeof a);
-  a.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
-  a.event = ev;
-  bool ok = CheckError(g_api->PJRT_Event_Await(&a), what);
-  PJRT_Event_Destroy_Args d;
-  memset(&d, 0, sizeof d);
-  d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
-  d.event = ev;
-  g_api->PJRT_Event_Destroy(&d);
-  return ok;
-}
-
-bool ReadFile(const std::string& path, std::string* out) {
-  std::ifstream f(path, std::ios::binary);
-  if (!f) {
-    fprintf(stderr, "pjrt_serve: cannot read %s\n", path.c_str());
-    return false;
-  }
-  std::ostringstream ss;
-  ss << f.rdbuf();
-  *out = ss.str();
-  return true;
-}
-
-struct TensorSpec {
-  std::string name;          // empty for the input
-  std::string dtype;         // numpy-style name
-  std::vector<int64_t> dims;
-};
-
-int DtypeSize(const std::string& d) {
-  if (d == "uint8" || d == "int8" || d == "bool") return 1;
-  if (d == "bfloat16" || d == "float16" || d == "int16" || d == "uint16")
-    return 2;
-  if (d == "float32" || d == "int32" || d == "uint32") return 4;
-  if (d == "float64" || d == "int64" || d == "uint64") return 8;
-  return -1;
-}
-
-PJRT_Buffer_Type DtypeToPjrt(const std::string& d) {
-  if (d == "uint8") return PJRT_Buffer_Type_U8;
-  if (d == "int8") return PJRT_Buffer_Type_S8;
-  if (d == "bool") return PJRT_Buffer_Type_PRED;
-  if (d == "bfloat16") return PJRT_Buffer_Type_BF16;
-  if (d == "float16") return PJRT_Buffer_Type_F16;
-  if (d == "float32") return PJRT_Buffer_Type_F32;
-  if (d == "float64") return PJRT_Buffer_Type_F64;
-  if (d == "int32") return PJRT_Buffer_Type_S32;
-  if (d == "int64") return PJRT_Buffer_Type_S64;
-  if (d == "uint32") return PJRT_Buffer_Type_U32;
-  if (d == "uint64") return PJRT_Buffer_Type_U64;
-  return PJRT_Buffer_Type_INVALID;
-}
-
-// io_spec.txt: "input <dtype> <d0,d1,...>" / "output <name> <dtype> <dims>"
-bool ParseIoSpec(const std::string& text, TensorSpec* input,
-                 std::vector<TensorSpec>* outputs) {
-  std::istringstream ss(text);
-  std::string line;
-  bool have_input = false;
-  while (std::getline(ss, line)) {
-    if (line.empty()) continue;
-    std::istringstream ls(line);
-    std::string kind;
-    ls >> kind;
-    TensorSpec t;
-    if (kind == "input") {
-      std::string dims;
-      ls >> t.dtype >> dims;
-      std::istringstream ds(dims);
-      std::string d;
-      while (std::getline(ds, d, ',')) t.dims.push_back(atoll(d.c_str()));
-      *input = t;
-      have_input = true;
-    } else if (kind == "output") {
-      std::string dims;
-      ls >> t.name >> t.dtype >> dims;
-      std::istringstream ds(dims);
-      std::string d;
-      while (std::getline(ds, d, ',')) t.dims.push_back(atoll(d.c_str()));
-      outputs->push_back(t);
-    } else {
-      fprintf(stderr, "pjrt_serve: bad io_spec line: %s\n", line.c_str());
-      return false;
-    }
-  }
-  return have_input && !outputs->empty();
-}
-
-int64_t NumElements(const std::vector<int64_t>& dims) {
-  int64_t n = 1;
-  for (int64_t d : dims) n *= d;
-  return n;
-}
-
-}  // namespace
+using sfh::Api;
+using sfh::AwaitEvent;
+using sfh::CheckError;
+using sfh::TensorSpec;
 
 int main(int argc, char** argv) {
   std::string artifact, input_path, out_dir;
@@ -203,22 +85,22 @@ int main(int argc, char** argv) {
 
   // ---- artifact files ------------------------------------------------------
   std::string module_bc, compile_options, io_spec_text, input_bytes;
-  if (!ReadFile(artifact + "/module.mlir.bc", &module_bc) ||
-      !ReadFile(artifact + "/compile_options.pb", &compile_options) ||
-      !ReadFile(artifact + "/io_spec.txt", &io_spec_text) ||
-      !ReadFile(input_path, &input_bytes))
+  if (!sfh::ReadFile(artifact + "/module.mlir.bc", &module_bc) ||
+      !sfh::ReadFile(artifact + "/compile_options.pb", &compile_options) ||
+      !sfh::ReadFile(artifact + "/io_spec.txt", &io_spec_text) ||
+      !sfh::ReadFile(input_path, &input_bytes))
     return 1;
   TensorSpec input;
   std::vector<TensorSpec> outputs;
-  if (!ParseIoSpec(io_spec_text, &input, &outputs)) return 1;
-  int esz = DtypeSize(input.dtype);
-  PJRT_Buffer_Type in_type = DtypeToPjrt(input.dtype);
+  if (!sfh::ParseIoSpec(io_spec_text, &input, &outputs)) return 1;
+  int esz = sfh::DtypeSize(input.dtype);
+  PJRT_Buffer_Type in_type = sfh::DtypeToPjrt(input.dtype);
   if (esz < 0 || in_type == PJRT_Buffer_Type_INVALID) {
     fprintf(stderr, "pjrt_serve: unsupported input dtype %s\n",
             input.dtype.c_str());
     return 1;
   }
-  int64_t want = NumElements(input.dims) * esz;
+  int64_t want = sfh::NumElements(input.dims) * esz;
   if ((int64_t)input_bytes.size() != want) {
     fprintf(stderr,
             "pjrt_serve: input size mismatch: %s has %zu bytes, io_spec "
@@ -228,94 +110,18 @@ int main(int argc, char** argv) {
   }
 
   // ---- plugin / client -----------------------------------------------------
-  void* handle = dlopen(plugin.c_str(), RTLD_NOW | RTLD_LOCAL);
-  if (handle == nullptr) {
-    fprintf(stderr, "pjrt_serve: dlopen %s: %s\n", plugin.c_str(), dlerror());
-    return 1;
-  }
-  auto get_api = (const PJRT_Api* (*)())dlsym(handle, "GetPjrtApi");
-  if (get_api == nullptr) {
-    fprintf(stderr, "pjrt_serve: %s has no GetPjrtApi\n", plugin.c_str());
-    return 1;
-  }
-  g_api = get_api();
-  fprintf(stderr, "pjrt_serve: plugin %s, PJRT C API %d.%d\n", plugin.c_str(),
-          g_api->pjrt_api_version.major_version,
-          g_api->pjrt_api_version.minor_version);
-  {
-    PJRT_Plugin_Initialize_Args a;
-    memset(&a, 0, sizeof a);
-    a.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
-    if (!CheckError(g_api->PJRT_Plugin_Initialize(&a), "Plugin_Initialize"))
-      return 1;
-  }
-
-  std::vector<PJRT_NamedValue> opts;
-  std::vector<std::string> opt_storage;  // keep strings alive
-  opt_storage.reserve(raw_opts.size() * 2);
-  for (auto& kv : raw_opts) {
-    opt_storage.push_back(kv.first);
-    const std::string& k = opt_storage.back();
-    PJRT_NamedValue nv;
-    memset(&nv, 0, sizeof nv);
-    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
-    nv.name = k.c_str();
-    nv.name_size = k.size();
-    char* end = nullptr;
-    long long iv = strtoll(kv.second.c_str(), &end, 10);
-    if (end != nullptr && *end == '\0' && !kv.second.empty()) {
-      nv.type = PJRT_NamedValue_kInt64;
-      nv.int64_value = iv;
-      nv.value_size = 1;
-    } else {
-      opt_storage.push_back(kv.second);
-      const std::string& v = opt_storage.back();
-      nv.type = PJRT_NamedValue_kString;
-      nv.string_value = v.c_str();
-      nv.value_size = v.size();
-    }
-    opts.push_back(nv);
-  }
-  PJRT_Client_Create_Args cc;
-  memset(&cc, 0, sizeof cc);
-  cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
-  cc.create_options = opts.data();
-  cc.num_options = opts.size();
-  if (!CheckError(g_api->PJRT_Client_Create(&cc), "Client_Create")) return 1;
-  PJRT_Client* client = cc.client;
-
-  PJRT_Client_AddressableDevices_Args ad;
-  memset(&ad, 0, sizeof ad);
-  ad.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
-  ad.client = client;
-  if (!CheckError(g_api->PJRT_Client_AddressableDevices(&ad), "Devices"))
-    return 1;
-  if (ad.num_addressable_devices == 0) {
-    fprintf(stderr, "pjrt_serve: no addressable devices\n");
-    return 1;
-  }
-  PJRT_Device* device = ad.addressable_devices[0];
+  if (!sfh::LoadPlugin(plugin)) return 1;
+  std::vector<std::string> opt_storage;
+  PJRT_Client* client = sfh::CreateClient(raw_opts, &opt_storage);
+  if (client == nullptr) return 1;
+  PJRT_Device* device = sfh::FirstDevice(client);
+  if (device == nullptr) return 1;
 
   // ---- compile -------------------------------------------------------------
-  PJRT_Program program;
-  memset(&program, 0, sizeof program);
-  program.struct_size = PJRT_Program_STRUCT_SIZE;
-  program.code = module_bc.data();
-  program.code_size = module_bc.size();
-  static const char kFormat[] = "mlir";
-  program.format = kFormat;
-  program.format_size = sizeof(kFormat) - 1;
-
-  PJRT_Client_Compile_Args comp;
-  memset(&comp, 0, sizeof comp);
-  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
-  comp.client = client;
-  comp.program = &program;
-  comp.compile_options = compile_options.data();
-  comp.compile_options_size = compile_options.size();
   auto t0 = std::chrono::steady_clock::now();
-  if (!CheckError(g_api->PJRT_Client_Compile(&comp), "Compile")) return 1;
-  PJRT_LoadedExecutable* exec = comp.executable;
+  PJRT_LoadedExecutable* exec = sfh::Compile(client, module_bc,
+                                             compile_options);
+  if (exec == nullptr) return 1;
   auto t1 = std::chrono::steady_clock::now();
   fprintf(stderr, "pjrt_serve: compiled in %.1f s\n",
           std::chrono::duration<double>(t1 - t0).count());
@@ -324,50 +130,21 @@ int main(int argc, char** argv) {
   // spec must be a clean error, not an out-of-bounds write into the
   // caller-sized output list
   {
-    PJRT_LoadedExecutable_GetExecutable_Args ge;
-    memset(&ge, 0, sizeof ge);
-    ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
-    ge.loaded_executable = exec;
-    if (!CheckError(g_api->PJRT_LoadedExecutable_GetExecutable(&ge),
-                    "GetExecutable"))
-      return 1;
-    PJRT_Executable_NumOutputs_Args no;
-    memset(&no, 0, sizeof no);
-    no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
-    no.executable = ge.executable;
-    if (!CheckError(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs"))
-      return 1;
-    PJRT_Executable_Destroy_Args xd;
-    memset(&xd, 0, sizeof xd);
-    xd.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
-    xd.executable = ge.executable;
-    CheckError(g_api->PJRT_Executable_Destroy(&xd), "Executable_Destroy");
-    if (no.num_outputs != outputs.size()) {
+    size_t n = 0;
+    if (!sfh::NumProgramOutputs(exec, &n)) return 1;
+    if (n != outputs.size()) {
       fprintf(stderr,
               "pjrt_serve: io_spec.txt lists %zu outputs but the program "
               "produces %zu — stale artifact?\n",
-              outputs.size(), no.num_outputs);
+              outputs.size(), n);
       return 1;
     }
   }
 
   // ---- input buffer --------------------------------------------------------
-  PJRT_Client_BufferFromHostBuffer_Args hb;
-  memset(&hb, 0, sizeof hb);
-  hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
-  hb.client = client;
-  hb.data = input_bytes.data();
-  hb.type = in_type;
-  hb.dims = input.dims.data();
-  hb.num_dims = input.dims.size();
-  hb.host_buffer_semantics =
-      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-  hb.device = device;
-  if (!CheckError(g_api->PJRT_Client_BufferFromHostBuffer(&hb),
-                  "BufferFromHostBuffer"))
-    return 1;
-  if (!AwaitEvent(hb.done_with_host_buffer, "host buffer transfer")) return 1;
-  PJRT_Buffer* in_buf = hb.buffer;
+  PJRT_Buffer* in_buf = sfh::UploadBuffer(client, device, input_bytes.data(),
+                                          in_type, input.dims);
+  if (in_buf == nullptr) return 1;
 
   // ---- execute -------------------------------------------------------------
   size_t num_outputs = outputs.size();
@@ -404,7 +181,7 @@ int main(int argc, char** argv) {
     ex.num_args = 1;
     ex.output_lists = &list;
     ex.device_complete_events = done_out != nullptr ? &done : nullptr;
-    if (!CheckError(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute"))
+    if (!CheckError(Api()->PJRT_LoadedExecutable_Execute(&ex), "Execute"))
       return false;
     if (done_out != nullptr) *done_out = done;
     if (!keep_outputs)
@@ -437,17 +214,8 @@ int main(int argc, char** argv) {
     // before the device finishes small programs (see CLAUDE.md), but a
     // host copy is a data dependency on the actual result
     {
-      PJRT_Buffer_ToHostBuffer_Args th;
-      memset(&th, 0, sizeof th);
-      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-      th.src = out_buf[0];
-      if (!CheckError(g_api->PJRT_Buffer_ToHostBuffer(&th), "sync size"))
-        return 1;
-      std::vector<char> sink(th.dst_size);
-      th.dst = sink.data();
-      if (!CheckError(g_api->PJRT_Buffer_ToHostBuffer(&th), "sync fetch"))
-        return 1;
-      if (!AwaitEvent(th.event, "sync fetch")) return 1;
+      std::vector<char> sink;
+      if (!sfh::FetchBuffer(out_buf[0], &sink)) return 1;
     }
     auto tb1 = std::chrono::steady_clock::now();
     double ms = std::chrono::duration<double, std::milli>(tb1 - tb0).count() /
@@ -457,30 +225,15 @@ int main(int argc, char** argv) {
             "(%.1f inputs/s at batch %lld)\n",
             ms, iters - 1, 1e3 / ms * (double)input.dims[0],
             (long long)input.dims[0]);
-    for (PJRT_Buffer* b : scratch) {
-      if (b == nullptr) continue;
-      PJRT_Buffer_Destroy_Args bd;
-      memset(&bd, 0, sizeof bd);
-      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-      bd.buffer = b;
-      CheckError(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy(scratch)");
-    }
+    for (PJRT_Buffer* b : scratch)
+      sfh::DestroyBuffer(b, "Buffer_Destroy(scratch)");
   }
 
   // ---- outputs -------------------------------------------------------------
   std::string manifest;
   for (size_t i = 0; i < num_outputs; ++i) {
-    PJRT_Buffer_ToHostBuffer_Args th;
-    memset(&th, 0, sizeof th);
-    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-    th.src = out_buf[i];
-    if (!CheckError(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer size"))
-      return 1;
-    std::vector<char> host(th.dst_size);
-    th.dst = host.data();
-    if (!CheckError(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer"))
-      return 1;
-    if (!AwaitEvent(th.event, "device->host copy")) return 1;
+    std::vector<char> host;
+    if (!sfh::FetchBuffer(out_buf[i], &host)) return 1;
 
     const TensorSpec& spec = outputs[i];
     std::string path = out_dir + "/" + spec.name + ".bin";
@@ -497,11 +250,7 @@ int main(int argc, char** argv) {
     line << " " << host.size() << "\n";
     manifest += line.str();
 
-    PJRT_Buffer_Destroy_Args bd;
-    memset(&bd, 0, sizeof bd);
-    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    bd.buffer = out_buf[i];
-    CheckError(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy");
+    sfh::DestroyBuffer(out_buf[i], "Buffer_Destroy");
   }
   {
     std::ofstream f(out_dir + "/outputs.txt");
@@ -509,20 +258,16 @@ int main(int argc, char** argv) {
   }
   printf("%s", manifest.c_str());
 
-  PJRT_Buffer_Destroy_Args bd;
-  memset(&bd, 0, sizeof bd);
-  bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-  bd.buffer = in_buf;
-  CheckError(g_api->PJRT_Buffer_Destroy(&bd), "Buffer_Destroy(input)");
+  sfh::DestroyBuffer(in_buf, "Buffer_Destroy(input)");
   PJRT_LoadedExecutable_Destroy_Args ed;
   memset(&ed, 0, sizeof ed);
   ed.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
   ed.executable = exec;
-  CheckError(g_api->PJRT_LoadedExecutable_Destroy(&ed), "Executable_Destroy");
+  CheckError(Api()->PJRT_LoadedExecutable_Destroy(&ed), "Executable_Destroy");
   PJRT_Client_Destroy_Args cd;
   memset(&cd, 0, sizeof cd);
   cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
   cd.client = client;
-  CheckError(g_api->PJRT_Client_Destroy(&cd), "Client_Destroy");
+  CheckError(Api()->PJRT_Client_Destroy(&cd), "Client_Destroy");
   return 0;
 }

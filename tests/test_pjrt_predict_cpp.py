@@ -1,0 +1,212 @@
+"""C++ predict pipeline (cpp/pjrt_predict.cc) on the real TPU.
+
+The binary decodes frames with OpenCV, batches them, executes a serving
+artifact via the PJRT C API (pipelined: decode threads -> device -> writer
+thread) and writes the reference-format ``{game}_court.json`` — the native
+analog of reference ``predict.py``'s 3-process pipeline.  These tests
+export a tiny fixed-batch TPU artifact, run the binary in a subprocess
+(independent of this process's forced-CPU jax), and check:
+
+  * image-dir mode: per-frame theta/score match a CPU-artifact reference
+    fed the same PNG pixels (lossless round-trip), names/tail-batch
+    padding correct (5 frames through batch 2);
+  * video mode: names are the reference's ``%06d`` frame convention and
+    identical frames produce identical outputs (decoder-parity-free check).
+
+Skipped when the plugin, g++, OpenCV dev files, or the PJRT header is
+unavailable.
+"""
+import json
+import os
+import shutil
+import subprocess
+import uuid
+
+import numpy as np
+import pytest
+
+import jax
+
+from sports_field_homography_tpu.cli.engine import build_model
+from sports_field_homography_tpu.compat.serving import (
+    export_predict, load_serving, save_serving)
+
+W, H = 64, 36
+COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
+COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
+PLUGIN = "/opt/axon/libaxon_pjrt.so"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _have_header():
+    try:
+        import tensorflow
+        return os.path.exists(os.path.join(
+            os.path.dirname(tensorflow.__file__), "include", "tensorflow",
+            "compiler", "xla", "pjrt", "c", "pjrt_c_api.h"))
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not (shutil.which("g++") and _have_header()
+         and os.path.isdir("/usr/include/opencv4")),
+    reason="needs g++, OpenCV dev files, and the PJRT C API header")
+
+requires_plugin = pytest.mark.skipif(
+    not os.path.exists(PLUGIN), reason="needs the axon PJRT plugin")
+
+
+class _Args:
+    batchsize = 2
+    target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+    court_size = (W, H); mask_classes = 4
+    use_unet = True; unet_bilinear = False; unet_uv = False
+    use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+    use_warper = True; compute_dtype = "float32"
+    court_img = COURT_IMG; court_poi = COURT_POI
+
+
+def _ensure_binary():
+    binary = os.path.join(REPO, "cpp", "pjrt_predict")
+    sources = [os.path.join(REPO, "cpp", f)
+               for f in ("pjrt_predict.cc", "pjrt_common.h")]
+    if (not os.path.exists(binary)
+            or any(os.path.getmtime(binary) < os.path.getmtime(s)
+                   for s in sources)):
+        subprocess.run(["bash", os.path.join(REPO, "cpp", "build.sh"),
+                        "pjrt_predict"],
+                       check=True, capture_output=True, text=True,
+                       timeout=600)
+    return binary
+
+
+def _export_artifacts(tmp_path):
+    bundle = build_model(_Args, warp_with_nearest=True)
+    keep = ("consist_score", "theta")
+    exported_tpu, meta_tpu = export_predict(
+        bundle, consistency=True, project_poi=False, keep=keep,
+        batch_size=2, platforms=("tpu",))
+    save_serving(str(tmp_path / "tpu"), exported_tpu, meta_tpu)
+    exported_cpu, meta_cpu = export_predict(
+        bundle, consistency=True, project_poi=False, keep=keep,
+        batch_size=2, platforms=("cpu",))
+    save_serving(str(tmp_path / "cpu"), exported_cpu, meta_cpu)
+    return bundle
+
+
+def _tpu_env():
+    env = dict(os.environ)
+    env.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
+    env.setdefault("AXON_LOOPBACK_RELAY", "1")
+    env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    return env
+
+
+def _tpu_opts():
+    return ["--opt", "topology=v5e:1x1x1", "--opt", "remote_compile=1",
+            "--opt", "n_slices=1",
+            "--opt", f"session_id=cxxp-{uuid.uuid4()}",
+            "--opt", "rank=4294967295"]
+
+
+def test_cpp_selftest():
+    """Host-side pipeline pieces (JSON formatting, preprocess, queue
+    shutdown semantics) — no plugin, runs anywhere the binary builds."""
+    binary = _ensure_binary()
+    r = subprocess.run([binary, "--selftest"], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+
+
+@requires_plugin
+def test_cpp_predict_img_dir(tmp_path):
+    import cv2
+
+    binary = _ensure_binary()
+    _export_artifacts(tmp_path)
+
+    # 5 frames at the artifact's exact size (no resize: lossless PNG
+    # round-trip makes the CPU reference bit-comparable), batch 2 ->
+    # 3 batches with a padded tail
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 255, (5, H, W, 3), np.uint8)
+    game_dir = tmp_path / "tiny_game"
+    game_dir.mkdir()
+    for i, f in enumerate(frames):
+        assert cv2.imwrite(str(game_dir / f"frame_{i:03d}.png"),
+                           f[..., ::-1])  # imwrite takes BGR
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+
+    r = subprocess.run(
+        [binary, str(tmp_path / "tpu"), "--img_dir", str(game_dir),
+         "--dst_dir", str(out_dir), "--threads", "2", "--model", "unittest"]
+        + _tpu_opts(),
+        env=_tpu_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    with open(out_dir / "tiny_game_court.json") as f:
+        court = json.load(f)
+    assert court.pop("model") == "unittest"
+    assert sorted(court) == [f"frame_{i:03d}" for i in range(5)]
+
+    # CPU reference on the same pixels
+    fn, _ = load_serving(str(tmp_path / "cpu"))
+    ref_theta, ref_score = [], []
+    padded = np.concatenate([frames, frames[:1]], axis=0)  # 5 -> 3 batches
+    for b in range(3):
+        out = jax.device_get(fn(padded[2 * b:2 * b + 2]))
+        ref_theta.append(np.asarray(out["theta"]))
+        ref_score.append(np.asarray(out["consist_score"]))
+    ref_theta = np.concatenate(ref_theta)[:5]
+    ref_score = np.concatenate(ref_score)[:5]
+
+    for i in range(5):
+        entry = court[f"frame_{i:03d}"]
+        theta = np.asarray(entry["theta"], np.float32)
+        assert theta.shape == (1, 3, 3)
+        np.testing.assert_allclose(theta, ref_theta[i], rtol=0, atol=1e-3)
+        assert abs(entry["score"] - float(ref_score[i])) < 1e-3
+
+
+@requires_plugin
+def test_cpp_predict_video(tmp_path):
+    import cv2
+
+    binary = _ensure_binary()
+    _export_artifacts(tmp_path)
+
+    # identical solid-color frames: any decoder reproduces them, and the
+    # pipeline must map them all to one (theta, score)
+    game_dir = tmp_path / "some_game"
+    game_dir.mkdir()
+    video_path = game_dir / "clip.mp4"
+    vw = cv2.VideoWriter(str(video_path),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (W, H))
+    assert vw.isOpened()
+    frame = np.full((H, W, 3), (40, 90, 160), np.uint8)
+    for _ in range(5):
+        vw.write(frame)
+    vw.release()
+
+    out_dir = tmp_path / "out_video"
+    out_dir.mkdir()
+    r = subprocess.run(
+        [binary, str(tmp_path / "tpu"), "--video", str(video_path),
+         "--dst_dir", str(out_dir), "--limit", "5"] + _tpu_opts(),
+        env=_tpu_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    with open(out_dir / "some_game_court.json") as f:
+        court = json.load(f)
+    assert court.pop("model") == "tpu"  # defaults to the artifact dir name
+    assert sorted(court) == [f"{i:06d}" for i in range(5)]
+    thetas = np.stack([np.asarray(court[f"{i:06d}"]["theta"], np.float32)
+                       for i in range(5)])
+    assert np.isfinite(thetas).all()
+    # same input frame -> same output, across batches and tail padding
+    np.testing.assert_array_equal(thetas, np.broadcast_to(thetas[:1],
+                                                          thetas.shape))
+    scores = [court[f"{i:06d}"]["score"] for i in range(5)]
+    assert len(set(scores)) == 1 and np.isfinite(scores[0])
