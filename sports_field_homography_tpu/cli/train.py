@@ -204,8 +204,18 @@ def main(argv=None):
 
     signal.signal(signal.SIGTERM, save_model)
 
+    grad_accum = int(getattr(args, "grad_accum", 1) or 1)
+    if grad_accum > 1:
+        logger.info(f"Gradient accumulation: {grad_accum} micro-batches "
+                    f"per optimizer step (effective batch "
+                    f"{grad_accum * args.batchsize})")
+
     mesh = None
     if multihost:
+        if grad_accum > 1:
+            raise SystemExit("--grad_accum > 1 is not supported together "
+                             "with multi-host training (the per-host batch "
+                             "slicing assumes a leading batch axis)")
         from ..parallel.distributed import global_mesh
         from ..parallel.mesh import check_batch_divisible
         mesh = global_mesh()
@@ -244,7 +254,8 @@ def main(argv=None):
             vizualize=args.viz, mesh=mesh, state_holder=state_holder,
             resume_state_path=(os.path.join(args.cp_dir, "last_state.msgpack")
                                if args.resume else None),
-            async_ckpt=getattr(args, "async_ckpt", False))
+            async_ckpt=getattr(args, "async_ckpt", False),
+            grad_accum=grad_accum)
         return state
     except KeyboardInterrupt:
         save_model()

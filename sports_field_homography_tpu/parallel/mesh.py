@@ -74,18 +74,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_train_step(step_fn, mesh: Mesh, n_outputs: int = 2):
+def shard_train_step(step_fn, mesh: Mesh, n_outputs: int = 2,
+                     batch_axis: int = 0):
     """Wrap a train step (built with ``axis_name='data'``) in shard_map.
 
-    State is replicated; every batch array is sharded on its leading
-    (batch) dimension.  Gradients are psum-averaged inside ``step_fn``, so
-    the returned state stays replica-identical.  ``n_outputs`` is the
-    number of step outputs, all replicated — 3 for the ``with_grads``
-    histogram variant (grads are pmean'd inside the step too).
+    State is replicated; every batch array is sharded on its batch
+    dimension — axis 0 normally, axis 1 for gradient-accumulation
+    super-batches whose leaves are ``(K, B, ...)`` (the micro-batch scan
+    stays per-device; only B is split).  Gradients are psum-averaged
+    inside ``step_fn``, so the returned state stays replica-identical.
+    ``n_outputs`` is the number of step outputs, all replicated — 3 for
+    the ``with_grads`` histogram variant (grads are pmean'd inside the
+    step too).
     """
+    spec = P(*([None] * batch_axis + ["data"]))
 
     def wrapped(state, batch, court_img, court_poi, warp_table=None):
-        batch_specs = {k: P("data") for k in batch}
+        batch_specs = {k: spec for k in batch}
         f = jax.shard_map(
             step_fn, mesh=mesh,
             in_specs=(P(), batch_specs, P(), P(), P()),

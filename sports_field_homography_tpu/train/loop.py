@@ -148,7 +148,7 @@ def make_loss_fn(model, loss_cfg: LossConfig):
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     axis_name: Optional[str] = None,
-                    with_grads: bool = False):
+                    with_grads: bool = False, grad_accum: int = 1):
     """Build the jitted (or shard_map-able) train step.
 
     Returns ``step(state, batch, court_img, court_poi) -> (state, logs)``
@@ -162,14 +162,39 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     (``train.py:246-250``).  This is a second compiled variant used only on
     validation steps, so histogram steps cost ONE backward like every
     other step instead of a separate jitted grad probe's extra backward.
+
+    ``grad_accum=K``: gradient accumulation — the batch leaves carry a
+    leading micro-batch axis ``(K, B, ...)``; a ``lax.scan`` runs K
+    backward passes (activation memory of ONE micro-batch at a time),
+    averages the K gradients and applies ONE optimizer update.  The
+    optimization step then sees an effective batch of K*B while HBM holds
+    B-sized activations — the TPU-idiomatic route to reference-scale
+    batches on small chips (the reference has no equivalent; torch users
+    hand-roll loss/K backward loops).  BN train-mode normalization uses
+    per-micro-batch statistics (exactly K plain steps' behavior); running
+    stats thread through the scan sequentially.  Logs are the K-mean.
     """
     loss_fn = make_loss_fn(model, loss_cfg)
 
     def step(state, batch, court_img, court_poi, warp_table=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (new_bs, logs)), grads = grad_fn(
-            state["params"], state["batch_stats"], batch, state["step"],
-            court_img, court_poi, warp_table)
+        if grad_accum == 1:
+            (_, (new_bs, logs)), grads = grad_fn(
+                state["params"], state["batch_stats"], batch, state["step"],
+                court_img, court_poi, warp_table)
+        else:
+            def micro(carry, micro_batch):
+                acc, bs = carry
+                (_, (bs, lg)), g = grad_fn(
+                    state["params"], bs, micro_batch, state["step"],
+                    court_img, court_poi, warp_table)
+                return (jax.tree.map(jnp.add, acc, g), bs), lg
+
+            zeros = jax.tree.map(jnp.zeros_like, state["params"])
+            (grads, new_bs), log_seq = jax.lax.scan(
+                micro, (zeros, state["batch_stats"]), batch)
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            logs = jax.tree.map(lambda a: a.mean(0), log_seq)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             logs = jax.lax.pmean(logs, axis_name)
@@ -186,17 +211,36 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     return step
 
 
+def _accumulation_groups(loader, k: int):
+    """Stack every ``k`` consecutive loader batches into one ``(k, B, ...)``
+    super-batch for the grad-accumulation scan.  A tail group smaller than
+    ``k`` is dropped (a partial group would change the effective batch of
+    its optimizer step; the epoch boundary shift is logged by the caller).
+    """
+    group = []
+    for batch in loader:
+        group.append(batch)
+        if len(group) == k:
+            yield {key: np.stack([g[key] for g in group])
+                   for key in group[0]}
+            group = []
+
+
 def train_net(model, variables, court_img, court_poi, train_loader, n_train,
               val_loader, batch_size, val_step_n, loss_cfg: LossConfig,
               opt="RMSprop", epochs=5, lr=1e-4, w_decay=1e-8,
               target_size=(1280, 720), cp_dir=None, log_dir=None, logger=None,
               vizualize=False, mesh=None, state_holder=None,
-              resume_state_path=None, async_ckpt=False):
+              resume_state_path=None, async_ckpt=False, grad_accum=1):
     """Host-side training orchestration (reference ``train_net``).
 
     ``async_ckpt``: write epoch checkpoints through an orbax
     ``AsyncSaver`` (CP_epoch{n}.orbax directories) so serialization
     overlaps the next epoch's compute; the saver is joined before return.
+
+    ``grad_accum=K``: accumulate gradients over K loader batches per
+    optimizer step (see ``make_train_step``); ``val_step_n`` counts
+    optimizer steps either way.
     """
     import logging
     if logger is None:
@@ -255,24 +299,29 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         from ..parallel.mesh import shard_train_step
         # cross-replica BN: per-shard batch stats pmean-reduced over 'data'
         dp_model = model.clone(bn_axis_name="data")
+        # with grad_accum the batch leaves are (K, B, ...): shard axis 1
         step_fn = shard_train_step(
-            make_train_step(dp_model, optimizer, loss_cfg, axis_name="data"),
-            mesh)
+            make_train_step(dp_model, optimizer, loss_cfg, axis_name="data",
+                            grad_accum=grad_accum),
+            mesh, batch_axis=0 if grad_accum == 1 else 1)
         if writer is not None:
             step_grads_fn = shard_train_step(
                 make_train_step(dp_model, optimizer, loss_cfg,
-                                axis_name="data", with_grads=True),
-                mesh, n_outputs=3)
+                                axis_name="data", with_grads=True,
+                                grad_accum=grad_accum),
+                mesh, n_outputs=3, batch_axis=0 if grad_accum == 1 else 1)
     else:
         # donate the input state: params/opt-state buffers are reused
         # in place instead of copied every step (~400 MB of f32 state);
         # the loop always rebinds `state` to the step's output, and the
         # SIGTERM holder stores that new (live) state
-        step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg),
+        step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg,
+                                          grad_accum=grad_accum),
                           donate_argnums=(0,))
         if writer is not None:
             step_grads_fn = jax.jit(
-                make_train_step(model, optimizer, loss_cfg, with_grads=True),
+                make_train_step(model, optimizer, loss_cfg, with_grads=True,
+                                grad_accum=grad_accum),
                 donate_argnums=(0,))
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
@@ -289,7 +338,9 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         t0 = time.time()
         pbar = (tqdm(total=n_train, desc=f"Epoch {epoch + 1}/{epochs}",
                      unit="img") if tqdm is not None else None)
-        for batch in train_loader:
+        epoch_batches = (train_loader if grad_accum == 1 else
+                         _accumulation_groups(train_loader, grad_accum))
+        for batch in epoch_batches:
             if mesh is not None and jax.process_count() > 1:
                 # multi-host: per-host loader shards -> global jax.Arrays
                 # over the global mesh (parallel/distributed.py)
@@ -311,7 +362,10 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
             if state_holder is not None:   # expose for SIGTERM interrupt save
                 state_holder["state"] = state
             if pbar is not None:
-                pbar.update(len(batch["image"]))
+                img = batch["image"]
+                n_imgs = (len(img) if grad_accum == 1
+                          else img.shape[0] * img.shape[1])
+                pbar.update(n_imgs)
                 pbar.set_postfix(loss=float(logs["Tot_loss"]))
 
             if writer is not None:

@@ -166,6 +166,12 @@ def get_training_args(ret_parser: bool = False, argv=None):
     parser.add_argument("--val_step_n", dest="val_step_n", type=int, default=None)
     parser.add_argument("--cp_dir", dest="cp_dir", type=str, default=None)
     parser.add_argument("--log_dir", dest="log_dir", type=str, default=None)
+    parser.add_argument("--grad_accum", dest="grad_accum", type=int,
+                        default=1,
+                        help="Accumulate gradients over N loader batches "
+                             "per optimizer step (lax.scan over "
+                             "micro-batches: effective batch N*batchsize "
+                             "at one batch's activation memory)")
     parser.add_argument("--async_ckpt", action="store_true", default=False,
                         help="Write epoch checkpoints asynchronously via "
                              "orbax (CP_epoch{n}.orbax dirs); serialization "

@@ -292,6 +292,145 @@ def test_data_parallel_shard_map_step(dataset_root):
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_grad_accum_matches_mean_of_micro_grads():
+    """grad_accum=K must apply ONE optimizer update with the K-mean of the
+    per-micro-batch gradients (each computed from the same pre-step params;
+    BN running stats thread sequentially), and log the K-mean scalars."""
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.train.loop import (
+        LossConfig, init_train_state, make_loss_fn, make_train_step)
+    from sports_field_homography_tpu.train.optim import make_optimizer
+    import optax
+
+    class A:
+        batchsize = 2
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    rng = np.random.RandomState(7)
+    micro = [{
+        "image": rng.rand(2, H, W, 3).astype(np.float32),
+        "mask": rng.randint(0, 4, size=(2, H, W)).astype(np.int64),
+        "weight": np.ones((2, 1), np.float32),
+    } for _ in range(2)]
+    stacked = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss=None,
+                          consist_loss=None, batch_size=2)
+    optimizer = make_optimizer("SGD", 1e-3, 0.0)
+    state0 = init_train_state(bundle.variables, optimizer)
+
+    # expected: two independent backward passes from the same params,
+    # batch_stats threaded, mean grads, one update
+    loss_fn = make_loss_fn(bundle.model, loss_cfg)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    bs = state0["batch_stats"]
+    grads, logs = [], []
+    for m in micro:
+        (_, (bs, lg)), g = grad_fn(state0["params"], bs, m, state0["step"],
+                                   bundle.court_img, bundle.court_poi, None)
+        grads.append(g)
+        logs.append(lg)
+    mean_grads = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    updates, _ = optimizer.update(mean_grads, state0["opt_state"],
+                                  state0["params"])
+    expected_params = optax.apply_updates(state0["params"], updates)
+
+    step = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg,
+                                   grad_accum=2))
+    new_state, step_logs = step(init_train_state(bundle.variables, optimizer),
+                                stacked, bundle.court_img, bundle.court_poi)
+
+    for x, y in zip(jax.tree.leaves(expected_params),
+                    jax.tree.leaves(new_state["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-7)
+    # threaded BN running stats equal K sequential plain-step updates
+    for x, y in zip(jax.tree.leaves(bs),
+                    jax.tree.leaves(new_state["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-7)
+    expected_tot = (float(logs[0]["Tot_loss"]) + float(logs[1]["Tot_loss"])) / 2
+    np.testing.assert_allclose(float(step_logs["Tot_loss"]), expected_tot,
+                               rtol=1e-5)
+    assert int(new_state["step"]) == 1      # ONE optimizer step
+
+
+def test_grad_accum_data_parallel_composes(dataset_root):
+    """grad_accum under the DP mesh (batch leaves (K, B, ...), sharded on
+    axis 1) must match the single-device grad_accum step."""
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.parallel.mesh import (
+        make_mesh, shard_train_step)
+    from sports_field_homography_tpu.train.loop import (
+        LossConfig, init_train_state, make_train_step)
+    from sports_field_homography_tpu.train.optim import make_optimizer
+
+    class A:
+        batchsize = 4
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    bundle = build_model(A)
+    rng = np.random.RandomState(11)
+    stacked = {
+        "image": rng.rand(2, 4, H, W, 3).astype(np.float32),
+        "mask": rng.randint(0, 4, size=(2, 4, H, W)).astype(np.int64),
+        "weight": np.ones((2, 4, 1), np.float32),
+    }
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss=None,
+                          consist_loss=None, batch_size=4)
+    optimizer = make_optimizer("SGD", 1e-3, 0.0)
+
+    mesh = make_mesh(2, spatial=1)
+    dp_model = bundle.model.clone(bn_axis_name="data")
+    dp_step = shard_train_step(
+        make_train_step(dp_model, optimizer, loss_cfg, axis_name="data",
+                        grad_accum=2),
+        mesh, batch_axis=1)
+    dp_state, dp_logs = dp_step(init_train_state(bundle.variables, optimizer),
+                                stacked, bundle.court_img, bundle.court_poi)
+
+    single = jax.jit(make_train_step(bundle.model, optimizer, loss_cfg,
+                                     grad_accum=2))
+    s_state, s_logs = single(init_train_state(bundle.variables, optimizer),
+                             stacked, bundle.court_img, bundle.court_poi)
+
+    np.testing.assert_allclose(float(dp_logs["Tot_loss"]),
+                               float(s_logs["Tot_loss"]), rtol=2e-3)
+    for x, y in zip(jax.tree.leaves(dp_state["params"]),
+                    jax.tree.leaves(s_state["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_grad_accum_cli_end_to_end(dataset_root, tmp_path):
+    """--grad_accum 2 with batchsize 2: 8 train imgs -> 2 optimizer steps
+    (4 loader batches grouped in pairs), checkpoint written."""
+    from sports_field_homography_tpu.cli.train import main
+
+    cp_dir = tmp_path / "cp_accum"
+    conf = make_conf(dataset_root, cp_dir, tmp_path / "logs_accum",
+                     batchsize=2, grad_accum=2, consist_loss=None)
+    conf_path = tmp_path / "conf_accum.yaml"
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    state = main(["-c", str(conf_path)])
+    assert state is not None
+    assert int(state["step"]) == 2
+    assert os.path.exists(cp_dir / "CP_epoch1.msgpack")
+
+
 def test_resume_restores_optimizer_state(dataset_root, tmp_path):
     """Interrupted training resumes with optimizer state + step intact."""
     import yaml
