@@ -102,18 +102,21 @@ def main():
             jax.block_until_ready(out)
         print("trace written to /tmp/sfh_profile", file=sys.stderr)
 
-    # best of two passes: the shared/tunneled dev chip occasionally has
-    # transient slow windows (observed 24x); the best pass reflects the
-    # hardware, the delta reflects the neighborhood
+    # median of five passes: robust to the shared/tunneled dev chip's
+    # transient slow windows (observed 24x) without the upward bias of a
+    # best-of selection; the per-pass spread is printed to stderr
     n_iters = 20
-    fps = 0.0
-    for _ in range(2):
+    passes = []
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             out = predict(variables, x, ci, cp, wt)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
-        fps = max(fps, batch * n_iters / dt)
+        passes.append(batch * n_iters / dt)
+    fps = sorted(passes)[len(passes) // 2]
+    print("passes (fps): " + ", ".join(f"{p:.1f}" for p in passes),
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "inference_fps_640x360_theta_consistency_1chip",
