@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--conv_kernel", type=str, default="auto",
                     choices=("auto", "xla", "pallas"),
                     help="UNet DoubleConv kernel (ops/double_conv)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="Gradient accumulation: K micro-batches of "
+                         "--batch per optimizer step (effective batch "
+                         "K*batch; img/s counts all K*batch images)")
     args = ap.parse_args()
 
     import numpy as np
@@ -50,13 +54,16 @@ def main():
     w, h = cfg.target_size
 
     rng = np.random.RandomState(0)
+    accum = max(1, args.grad_accum)
+    lead = (batch,) if accum == 1 else (accum, batch)
     batch_data = {
-        "image": jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32)),
-        "mask": jnp.asarray(rng.randint(0, 4, size=(batch, h, w)).astype(np.int32)),
-        "poi": jnp.asarray(rng.rand(batch, 52, 2).astype(np.float32)),
-        "nonzeros": jnp.ones((batch, 52), jnp.float32),
-        "num_nonzero": jnp.full((batch,), 52.0, jnp.float32),
-        "weight": jnp.ones((batch, 1), jnp.float32),
+        "image": jnp.asarray(rng.rand(*lead, h, w, 3).astype(np.float32)),
+        "mask": jnp.asarray(
+            rng.randint(0, 4, size=lead + (h, w)).astype(np.int32)),
+        "poi": jnp.asarray(rng.rand(*lead, 52, 2).astype(np.float32)),
+        "nonzeros": jnp.ones(lead + (52,), jnp.float32),
+        "num_nonzero": jnp.full(lead, 52.0, jnp.float32),
+        "weight": jnp.ones(lead + (1,), jnp.float32),
     }
     x1 = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = jax.jit(lambda: model.init(
@@ -75,7 +82,8 @@ def main():
     court_img = jax.device_put(court_img)
     court_poi = jax.device_put(court_poi)
 
-    step = jax.jit(make_train_step(model, optimizer, loss_cfg),
+    step = jax.jit(make_train_step(model, optimizer, loss_cfg,
+                                   grad_accum=accum),
                    donate_argnums=(0,))
 
     state, logs = step(state, batch_data, court_img, court_poi, warp_table)
@@ -93,6 +101,7 @@ def main():
     # block_until_ready does NOT truly sync on the tunneled runtime
     # (CLAUDE.md trap) — force a scalar host fetch to close each pass.
     best = 0.0
+    imgs_per_step = batch * accum
     for _ in range(2):
         float(jax.device_get(logs["Tot_loss"]))
         t0 = time.perf_counter()
@@ -100,9 +109,10 @@ def main():
             state, logs = step(state, batch_data, court_img, court_poi, warp_table)
         float(jax.device_get(logs["Tot_loss"]))
         dt = time.perf_counter() - t0
-        best = max(best, batch * args.iters / dt)
-    ms = batch / best * 1000
+        best = max(best, imgs_per_step * args.iters / dt)
+    ms = imgs_per_step / best * 1000
     print(f"train_step batch {batch} @{w}x{h}"
+          f"{f' x{accum} accum' if accum > 1 else ''}"
           f"{' fused_bn' if args.fused_bn else ''}"
           f"{' conv_kernel=' + args.conv_kernel if args.conv_kernel != 'auto' else ''}"
           f": {best:.1f} img/s ({ms:.1f} ms/step)")
