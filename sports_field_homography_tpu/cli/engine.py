@@ -74,6 +74,7 @@ def build_model(args, load: Optional[str] = None,
         warp_with_nearest=warp_with_nearest,
         warp_kernel=getattr(args, "warp_kernel", "auto"),
         conv_kernel=getattr(args, "conv_kernel", "auto"),
+        fused_bn=getattr(args, "fused_bn", False),
     )
     dtype = _dtype_from_str(getattr(args, "compute_dtype", "bfloat16"))
     model = Reconstructor(cfg, dtype=dtype)

@@ -123,6 +123,12 @@ def make_base_parser() -> argparse.ArgumentParser:
                              "(ops/double_conv; batch on the grid, BN "
                              "fused into the convs), auto per the "
                              "measured policy in BASELINE.md")
+    parser.add_argument("--fused_bn", action="store_true", default=False,
+                        help="Use the Pallas fused train-mode BN+ReLU "
+                             "(ops/bn_pallas) inside DoubleConv; measured "
+                             "slower than XLA at the flagship shapes "
+                             "(BASELINE.md), kept reachable for other "
+                             "shapes/compilers")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Data-parallel devices (default: all visible)")
     # multi-host (DCN) runtime; see parallel/distributed.py.  With only

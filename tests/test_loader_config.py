@@ -106,6 +106,20 @@ class TestConfig:
 
         assert parse_config("/nonexistent/conf.yaml") is None
 
+    def test_fused_bn_flag_reaches_model_config(self):
+        from sports_field_homography_tpu.cli.engine import build_model
+        from sports_field_homography_tpu.utils.config import (
+            get_prediction_args, get_training_args)
+
+        args = get_training_args(
+            argv=["--fused_bn", "--court_img",
+                  "./assets/pitch_mask_nc4_hd.png"])
+        assert args.fused_bn is True
+        bundle = build_model(args, batch_size=1, init_if_missing=False)
+        assert bundle.config.fused_bn is True
+        assert get_training_args(argv=[]).fused_bn is False
+        assert get_prediction_args(argv=["--fused_bn"]).fused_bn is True
+
 
 def test_logger_no_duplicate_handlers(capsys):
     from sports_field_homography_tpu.utils.logger import get_logger
