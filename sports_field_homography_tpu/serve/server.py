@@ -1,0 +1,281 @@
+"""Online HTTP serving: frames in, homography JSON out.
+
+The reference's production path is an offline batch CLI
+(``/root/reference/predict.py``); it has no online serving story.  This
+module completes it for TPU deployment: the SAME jitted predict program
+the batch CLI runs (``cli/engine.jit_predict_fn`` — static output
+pruning, uint8 in-program normalization, folded BN, interval-table warp)
+behind a dynamic batcher (``serve/batcher.py``) and a dependency-free
+HTTP front end (stdlib ``ThreadingHTTPServer``).
+
+Endpoints:
+  * ``POST /predict`` — body = one encoded image (JPEG/PNG, any size;
+    resized server-side with the video-ingest semantics of
+    ``data/dataset.py VideoDataset.preprocess_frame``).  Response JSON:
+    ``{"theta": 3x3, "score": float, "poi": [[x,y]...], ...}`` per
+    ``--req_outputs``; mask outputs are base64 PNGs.
+  * ``GET /healthz`` — liveness + backend.
+  * ``GET /stats``   — batcher counters and latency quantiles.
+
+Serves either a checkpoint (``--load`` + sidecar conf.yaml, exactly like
+the predict CLI) or a self-contained StableHLO artifact
+(``--serving_artifact``, from ``scripts/export_serving.py``) — the
+artifact path runs with weights baked into the program, no model code.
+
+Usage:
+  python serve.py --load ckpt/CP_epoch30.msgpack --port 8800
+  python serve.py --serving_artifact ckpt/serving --port 8800
+  curl -s --data-binary @frame.jpg localhost:8800/predict
+"""
+from __future__ import annotations
+
+import base64
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils.config import get_serving_args, parse_config, replace_args
+from ..utils.logger import get_logger
+from .batcher import DynamicBatcher, default_buckets
+
+__all__ = ["create_server", "main"]
+
+
+def _resize_frame_u8(frame: np.ndarray, target_size) -> np.ndarray:
+    """uint8 resize with the video-ingest interpolation choice
+    (``VideoDataset.preprocess_frame``: INTER_AREA when downscaling else
+    INTER_LINEAR); normalization stays in the jitted program (u8/255,
+    bitwise-equal to the f32 path — docs/PARITY.md uint8 shipping)."""
+    import cv2
+
+    target_w, target_h = target_size
+    h, w = frame.shape[:2]
+    if w != target_w or h != target_h:
+        inter = cv2.INTER_AREA if w > target_w else cv2.INTER_LINEAR
+        frame = cv2.resize(frame, (target_w, target_h), interpolation=inter)
+    return frame
+
+
+def _png_b64(mask: np.ndarray) -> str:
+    import cv2
+
+    ok, buf = cv2.imencode(".png", mask)
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode("ascii")
+
+
+def _response_json(result: Dict[str, np.ndarray]) -> dict:
+    """Per-request predict slice -> JSON-ready dict (same value
+    conventions as the batch CLI's ``{game}_court.json``)."""
+    out = {}
+    if "theta" in result:
+        out["theta"] = np.asarray(result["theta"],
+                                  np.float64).reshape(3, 3).tolist()
+    if "consist_score" in result:
+        out["score"] = float(result["consist_score"])
+    if "poi" in result:
+        out["poi"] = np.asarray(result["poi"], np.float64).tolist()
+    for key in ("segm_mask", "warp_mask"):
+        if key in result:
+            out[key + "_png"] = _png_b64(np.asarray(result[key], np.uint8))
+    return out
+
+
+def _build_from_checkpoint(args):
+    """The predict CLI's model construction, minus the dataset: sidecar
+    conf overlay, req_outputs -> static keep set, batch-1 court constants
+    (they broadcast against every batch bucket —
+    ``models/reconstructor._match_batch``)."""
+    from ..cli.engine import build_model, discover_conf, jit_predict_fn
+
+    args.conf_path = discover_conf(args.load, args.conf_path)
+    if args.conf_path is not None:
+        conf = parse_config(args.conf_path)
+        # unlike predict, geometry (warp/court sizes, assets) comes from
+        # the conf: serving has no --out_size flooring to override it
+        args = replace_args(args, conf, ignore_keys=[
+            "conf_path", "batchsize", "load", "compute_dtype",
+            "num_devices", "req_outputs"])
+
+    req_outputs = {n: True for n in args.req_outputs.split(",")}
+    project_poi = "poi" in req_outputs
+    consistency = "consistency" in req_outputs
+    args.use_warper = "warp_mask" in req_outputs or consistency
+    assert (consistency and args.use_unet) or not consistency
+    assert (project_poi and args.use_warper) or not project_poi
+
+    bundle = build_model(args, load=args.load, warp_with_nearest=True,
+                         batch_size=1,
+                         fold_bn=bool(getattr(args, "fold_bn", 1)))
+    keep = set()
+    if "segm_mask" in req_outputs:
+        keep.add("segm_mask")
+    if "warp_mask" in req_outputs:
+        keep.add("warp_mask")
+    if "theta" in req_outputs:
+        keep.add("theta")
+    if consistency:
+        keep.add("consist_score")
+    if project_poi:
+        keep.add("poi")
+    fn = jit_predict_fn(bundle, consistency=consistency,
+                        project_poi=project_poi, keep=tuple(keep))
+    variables = bundle.variables
+
+    def run_batch(frames: np.ndarray):
+        return fn(variables, frames)
+
+    w, h = bundle.config.target_size
+    return run_batch, (h, w, 3), np.uint8, None
+
+
+def _build_from_artifact(path: str):
+    """Serve a StableHLO artifact (weights baked in, no model code).
+    Fixed-batch artifacts pin the batcher to one bucket; ``poly_batch``
+    artifacts specialize per bucket like the live model."""
+    from ..compat.serving import load_serving
+
+    fn, meta = load_serving(path)
+    spec = meta["input"]
+    b, h, w, _ = spec["shape"]
+    dtype = {"uint8": np.uint8, "float32": np.float32}[spec["dtype"]]
+    forced = None if spec.get("poly_batch") else [int(b)]
+
+    def run_batch(frames: np.ndarray):
+        return fn(frames.astype(dtype))
+
+    return run_batch, (int(h), int(w), 3), dtype, forced
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # class-level service state, set by create_server
+    batcher: DynamicBatcher = None
+    target_hw: tuple = None
+    channel_order: str = "bgr"
+    logger = None
+
+    # stdlib default logs every request to stderr; route through our logger
+    def log_message(self, fmt, *fmt_args):
+        if self.logger is not None:
+            self.logger.debug("%s - %s" % (self.address_string(),
+                                           fmt % fmt_args))
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            import jax
+            self._send(200, {"ok": True, "backend": jax.default_backend()})
+        elif self.path == "/stats":
+            self._send(200, self.batcher.stats())
+        else:
+            self._send(404, {"error": "unknown path; use POST /predict, "
+                                      "GET /healthz, GET /stats"})
+
+    def do_POST(self):
+        if self.path != "/predict":
+            self._send(404, {"error": "unknown path"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            import cv2
+
+            frame = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                 cv2.IMREAD_COLOR)       # BGR, 3 channels
+            if frame is None:
+                self._send(400, {"error": "body is not a decodable image"})
+                return
+            if self.channel_order == "rgb":
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            h, w, _ = self.target_hw
+            frame = _resize_frame_u8(frame, (w, h))
+        except Exception as e:
+            self._send(400, {"error": f"bad request: {e}"})
+            return
+        try:
+            result = self.batcher.submit(frame, timeout=120.0)
+            self._send(200, _response_json(result))
+        except TimeoutError:
+            self._send(504, {"error": "predict timed out"})
+        except Exception as e:
+            self._send(500, {"error": f"predict failed: {e}"})
+
+
+def create_server(argv=None):
+    """Build the service and a bound (not yet serving) HTTP server.
+
+    Returns ``(httpd, batcher)``; call ``httpd.serve_forever()`` (main
+    does) or drive it from a thread (tests do).  ``httpd.server_address``
+    carries the bound port when ``--port 0``.
+    """
+    args = get_serving_args(argv)
+    if os.environ.get("SFH_JAX_PLATFORM"):
+        # test hook: JAX_PLATFORMS env is ignored on the tunneled runtime
+        # (CLAUDE.md); must land before first backend use
+        import jax
+        jax.config.update("jax_platforms", os.environ["SFH_JAX_PLATFORM"])
+
+    logger = get_logger(format="%(message)s", write_date=False)
+
+    if args.serving_artifact:
+        run_batch, frame_shape, dtype, forced = _build_from_artifact(
+            args.serving_artifact)
+    else:
+        run_batch, frame_shape, dtype, forced = _build_from_checkpoint(args)
+
+    if forced is not None:
+        buckets = forced
+        logger.info(f"fixed-batch artifact: serving bucket {forced[0]} only "
+                    "(export with --poly_batch for size-adaptive buckets)")
+    elif args.buckets:
+        buckets = sorted(int(b) for b in args.buckets.split(","))
+    else:
+        buckets = default_buckets(args.max_batch)
+
+    batcher = DynamicBatcher(run_batch, frame_shape, dtype=dtype,
+                             max_batch=buckets[-1],
+                             max_delay_ms=args.max_delay_ms,
+                             buckets=buckets)
+    if not args.no_warmup:
+        logger.info(f"warming up batch buckets {list(buckets)}...")
+        batcher.warmup()
+
+    class Handler(_Handler):
+        pass
+
+    Handler.batcher = batcher
+    Handler.target_hw = frame_shape
+    Handler.channel_order = args.channel_order
+    Handler.logger = logger
+
+    httpd = ThreadingHTTPServer((args.http_host, args.port), Handler)
+    httpd.daemon_threads = True
+    logger.info(f"serving on http://{httpd.server_address[0]}:"
+                f"{httpd.server_address[1]}  "
+                f"(POST /predict, GET /healthz, GET /stats)")
+    return httpd, batcher
+
+
+def main(argv=None):
+    httpd, batcher = create_server(argv)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -234,6 +234,47 @@ def get_prediction_args(argv=None):
     return parser.parse_args(argv)
 
 
+def get_serving_args(argv=None):
+    """Online-serving args (no reference twin: the reference has no
+    serving layer — see ``serve/server.py``).  Model/geometry args come
+    from the shared base parser so a checkpoint's sidecar conf.yaml
+    overlays identically to predict/test."""
+    parser = make_base_parser()
+    parser.description = "Serve"
+    parser.add_argument("--http_host", type=str, default="127.0.0.1",
+                        help="Bind address (0.0.0.0 to expose)")
+    parser.add_argument("--port", type=int, default=8800,
+                        help="HTTP port (0 = ephemeral, printed at start)")
+    parser.add_argument("--req_outputs", type=str,
+                        default="theta,poi,consistency",
+                        help="Outputs computed per request (same names as "
+                             "predict; segm_mask/warp_mask return "
+                             "base64 PNGs)")
+    parser.add_argument("--max_batch", type=int, default=32,
+                        help="Dynamic batcher cap (the throughput bucket)")
+    parser.add_argument("--max_delay_ms", type=float, default=8.0,
+                        help="Max coalescing wait after the first queued "
+                             "request before dispatch")
+    parser.add_argument("--buckets", type=str, default=None,
+                        help="Comma list of compiled batch sizes "
+                             "(default: powers of 2 up to max_batch)")
+    parser.add_argument("--channel_order", type=str, default="bgr",
+                        choices=("bgr", "rgb"),
+                        help="Channel order frames are fed to the model in "
+                             "(bgr = the video-ingest twin, "
+                             "data/dataset.py VideoDataset)")
+    parser.add_argument("--serving_artifact", type=str, default=None,
+                        help="Serve a StableHLO artifact directory "
+                             "(scripts/export_serving.py) instead of a "
+                             "checkpoint")
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="Skip compiling all batch buckets at startup")
+    parser.add_argument("--fold_bn", type=int, default=1,
+                        help="Fold BatchNorm into conv weights at load "
+                             "(inference-only, exactly equivalent; 0 disables)")
+    return parser.parse_args(argv)
+
+
 def get_test_args(argv=None):
     """Checkpoint-sweep test args (reference ``utils/config.py:168-176``)."""
     parser = get_training_args(ret_parser=True)
