@@ -55,13 +55,16 @@ def save_mask_as_png(mask, dst_dir, name, postfix="mask"):
 class PickleMaskWriter:
     """Pickled PNG-buffer stream writer (reference ``predict.py:26-37``)."""
 
-    def __init__(self, dst_dir: str, postfix: str = "mask", suffix: str = ""):
+    def __init__(self, dst_dir: str, postfix: str = "mask", suffix: str = "",
+                 append: bool = False):
         # suffix: per-host part discriminator for multi-host runs (the
         # parts are byte-concatenated into data.pkl by host 0 — a
-        # pickle.dump stream concatenates losslessly)
+        # pickle.dump stream concatenates losslessly).  append: resumed
+        # runs extend the stream instead of truncating it.
         dst_subdir = os.path.join(dst_dir, postfix)
         os.makedirs(dst_subdir, exist_ok=True)
-        self.file = open(os.path.join(dst_subdir, "data.pkl" + suffix), "wb+")
+        self.file = open(os.path.join(dst_subdir, "data.pkl" + suffix),
+                         "ab" if append else "wb+")
 
     def write(self, name: str, mask: np.ndarray):
         import cv2
@@ -85,6 +88,46 @@ def _resize_masks(masks: np.ndarray, out_size) -> np.ndarray:
     out = [cv2.resize(m, tuple(out_size), interpolation=cv2.INTER_NEAREST)
            for m in masks]
     return np.stack(out, axis=0)
+
+
+class _IndexView:
+    """Arbitrary-index view of a dataset (``--resume``: the frames an
+    interrupted run hasn't recorded yet)."""
+
+    def __init__(self, base, indices):
+        self.base, self.indices = base, list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.base[self.indices[i]]
+
+
+def _read_resume_names(path: str) -> set:
+    """Frame names already recorded in a part JSONL by an interrupted run.
+
+    A crash can tear the final record (partial line, or a complete JSON
+    object missing its newline); everything from the first unparsable
+    line on is dropped and the file is rewritten as the clean prefix, so
+    resumed appends never concatenate onto a torn record.  The frames
+    whose records were torn (or still buffered at crash time) are simply
+    re-predicted — resume is at-least-once, keyed on the JSONL.
+    """
+    if not os.path.exists(path):
+        return set()
+    names, good = set(), []
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                break
+            names.update(rec.keys())
+            good.append(line if line.endswith("\n") else line + "\n")
+    with open(path, "w") as f:
+        f.writelines(good)
+    return names
 
 
 class _DatasetShard:
@@ -158,7 +201,7 @@ def process(argv=None, num_data_workers: int = 4):
         conf = parse_config(args.conf_path)
         ignore_keys = ["conf_path", "batchsize", "court_img", "court_poi",
                        "img_dir", "court_size", "warp_size", "load",
-                       "compute_dtype", "num_devices"]
+                       "compute_dtype", "num_devices", "resume"]
         args = replace_args(args, conf, ignore_keys=ignore_keys)
 
     # resolution floors (reference predict.py:150-155)
@@ -243,22 +286,59 @@ def process(argv=None, num_data_workers: int = 4):
                             args.mask_classes, use_uv=False,
                             target_size=args.target_size,
                             keep_orig_img=keep_orig_img, raw_uint8=True)
-        loader = Loader(data, args.batchsize, shuffle=False,
-                        num_workers=num_data_workers)
+        loader_workers = num_data_workers
     else:
         data = VideoDataset(path=args.video_path, target_size=args.target_size,
                             keep_orig_img=keep_orig_img, raw_uint8=True,
                             decode_workers=getattr(args, "video_workers", 1))
-        loader = Loader(data, args.batchsize, shuffle=False, num_workers=1)
+        loader_workers = 1
     if multihost and jax.process_count() > 1:
         # contiguous per-host slice of the input (reference has no
         # multi-machine inference; this is the DCN scale-out analog)
         pid, nproc = jax.process_index(), jax.process_count()
         lo, hi = _host_slice(len(data), pid, nproc)
         data = _DatasetShard(data, lo, hi)
-        nw = num_data_workers if args.img_dir is not None else 1
-        loader = Loader(data, args.batchsize, shuffle=False, num_workers=nw)
         print(f"host {pid}: frames [{lo}, {hi}), {hi - lo} local")
+
+    # per-host part suffix: every multi-host writer (JSONL + pickle mask
+    # streams) writes its own part; host 0 merges after the barrier
+    part_suffix = (".h{}".format(jax.process_index())
+                   if multihost and jax.process_count() > 1 else "")
+    json_path = os.path.join(
+        args.dst_dir,
+        "{}_court_processing.json".format(game_name)) + part_suffix
+
+    # --resume: skip frames an interrupted run already recorded in the
+    # part JSONL (this host's own part), append new records to it.  Masks
+    # for the skipped frames are already on disk (PNGs are per-frame;
+    # pickle streams are appended).  Resume is keyed on the JSONL, so it
+    # needs a JSON output (theta/poi/consistency) in req_outputs.
+    resume = bool(getattr(args, "resume", False))
+    done_names = _read_resume_names(json_path) if resume else set()
+    if done_names:
+        in_shard = isinstance(data, _DatasetShard)
+        base = data.base if in_shard else data
+        lo = data.lo if in_shard else 0
+        hi = lo + (data.n if in_shard else len(data))
+        if args.img_dir is not None:
+            # JSONL keys are the ids without extension (writer name rule)
+            keep = [i for i in range(lo, hi)
+                    if base.ids[i][: base.ids[i].rfind(".")] not in done_names]
+            n_skip = (hi - lo) - len(keep)
+            data = _IndexView(base, keep)
+        else:
+            # video names are zero-padded absolute frame indices written
+            # in order: advance past the contiguous done prefix
+            lo0 = lo
+            while lo < hi and str(lo).zfill(6) in done_names:
+                lo += 1
+            n_skip = lo - lo0
+            data = _DatasetShard(base, lo, hi)
+        logger.info(f"--resume: {n_skip} frames already in "
+                    f"{os.path.basename(json_path)}, "
+                    f"{len(data)} left to predict")
+    loader = Loader(data, args.batchsize, shuffle=False,
+                    num_workers=loader_workers)
     n_data = len(data)
 
     logger.info(f"""Start making predictions:
@@ -283,20 +363,14 @@ def process(argv=None, num_data_workers: int = 4):
 
     # --- writer thread: encodes/saves while the device computes ------------
     out_q: "queue.Queue" = queue.Queue(maxsize=8)
-    # per-host part suffix: every multi-host writer (JSONL + pickle mask
-    # streams) writes its own part; host 0 merges after the barrier
-    part_suffix = (".h{}".format(jax.process_index())
-                   if multihost and jax.process_count() > 1 else "")
-    json_path = os.path.join(
-        args.dst_dir,
-        "{}_court_processing.json".format(game_name)) + part_suffix
     writer_state: Dict[str, Optional[object]] = {"json": None, "segm_pkl": None,
                                                  "warp_pkl": None, "error": None}
 
     def get_pickle_writer(key, postfix):
         if writer_state[key] is None:
             writer_state[key] = PickleMaskWriter(args.dst_dir, postfix,
-                                                 suffix=part_suffix)
+                                                 suffix=part_suffix,
+                                                 append=resume)
         return writer_state[key]
 
     def writer_loop():
@@ -365,7 +439,8 @@ def process(argv=None, num_data_workers: int = 4):
 
             if theta is not None or consist_score is not None or poi is not None:
                 if writer_state["json"] is None:
-                    writer_state["json"] = open(json_path, "w+")
+                    writer_state["json"] = open(json_path,
+                                                "a" if resume else "w+")
                 outputs = {}
                 if consist_score is not None:
                     outputs["score"] = float("{:5f}".format(consist_score[i]))
@@ -495,7 +570,10 @@ def process(argv=None, num_data_workers: int = 4):
                             with open(part, "rb") as f:
                                 out.write(f.read())
                             os.remove(part)
-    elif writer_state["json"] is not None:
+    elif writer_state["json"] is not None or (resume and
+                                              os.path.exists(json_path)):
+        # the resume clause covers a resumed run with nothing left to do:
+        # the part from the interrupted run still needs its final merge
         _merge_jsonl_parts([json_path], court_json, model_name)
 
     print("Processing completed!")

@@ -269,11 +269,31 @@ def create_server(argv=None):
 
 def main(argv=None):
     httpd, batcher = create_server(argv)
+
+    # graceful drain on SIGTERM (the orchestrator's stop signal, same as
+    # the train CLI's checkpoint-and-exit): stop accepting connections,
+    # let the batcher serve everything already enqueued, then exit.
+    # shutdown() blocks until serve_forever returns, so it must be
+    # triggered off-thread.
+    import signal
+
+    def _term(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # not the main thread (embedded use); SIGTERM stays default
+
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        httpd.server_close()
+        # close() enqueues the shutdown sentinel BEHIND pending requests:
+        # the device worker drains them and wakes their handler threads
+        # before joining, so in-flight clients get their responses
         batcher.close()
 
 

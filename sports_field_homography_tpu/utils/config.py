@@ -231,6 +231,11 @@ def get_prediction_args(argv=None):
     parser.add_argument("--fold_bn", type=int, default=1,
                         help="Fold BatchNorm into conv weights at load "
                              "(inference-only, exactly equivalent; 0 disables)")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="Resume an interrupted run: frames already "
+                             "recorded in the part JSONL are skipped and new "
+                             "results append (requires a JSON output — "
+                             "theta/poi/consistency — in req_outputs)")
     return parser.parse_args(argv)
 
 
