@@ -26,7 +26,8 @@ __all__ = ["main", "prepare_dataloader"]
 
 def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
                        mask_classes, use_uv, batch_size, target_size, aug,
-                       only_ncaam, shard=None, uint8_inputs=None):
+                       only_ncaam, shard=None, uint8_inputs=None,
+                       data_seed=0):
     """Train/val loaders (reference ``train.py:25-40``).
 
     ``shard``: (host_index, host_count) for multi-host training — each
@@ -48,10 +49,15 @@ def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
                          raw_uint8=train_u8)
     val = BasicDataset(val_ids, img_dir, mask_dir, anno_dir, anno_keys,
                        mask_classes, use_uv, target_size, raw_uint8=val_u8)
-    # sharded hosts must agree on the shuffled index order -> fixed seed
+    # seeded by default: per-epoch orders derive from (seed, epoch) —
+    # reproducible runs + exact mid-epoch resume; sharded hosts also need
+    # it to agree on the index order.  data_seed=None opts out (legacy
+    # nondeterministic shuffle).
+    assert not (shard and data_seed is None), \
+        "sharded training requires a data seed"
     train_loader = Loader(train, batch_size, shuffle=True, num_workers=8,
                           drop_last=False, pad_last=True,
-                          seed=0 if shard else None, shard=shard)
+                          seed=data_seed, shard=shard)
     # keep the ragged tail: eval means over the `valid` mask, so padded
     # tail batches score exactly like the reference's variable-size tail
     val_loader = Loader(val, batch_size, shuffle=False, num_workers=8,
@@ -154,7 +160,9 @@ def main(argv=None):
         aug=args.aug, only_ncaam=args.only_ncaam,
         shard=((jax.process_index(), jax.process_count())
                if multihost else None),
-        uint8_inputs=getattr(args, "uint8_inputs", None))
+        uint8_inputs=getattr(args, "uint8_inputs", None),
+        data_seed=(None if getattr(args, "data_seed", 0) in (None, -1)
+                   else int(getattr(args, "data_seed", 0))))
     logger.info(f"Dataset: train={n_train} val={n_val} aug={args.aug}")
 
     if args.conf_path is not None:
@@ -199,6 +207,13 @@ def main(argv=None):
                                    "batch_stats": s["batch_stats"]})
             # full train state (opt_state + step) for true resume
             save_train_state(os.path.join(args.cp_dir, "last_state.msgpack"), s)
+            if state_holder.get("sched") is not None:
+                # data-schedule position: --resume replays the interrupted
+                # epoch's exact order and skips the consumed steps
+                import json
+                with open(os.path.join(args.cp_dir,
+                                       "last_state.sched.json"), "w") as f:
+                    json.dump(state_holder["sched"], f)
             logger.info("Saved interrupt to {}".format(path))
         sys.exit(0)
 
@@ -233,6 +248,14 @@ def main(argv=None):
         def __init__(self, loader):
             self.loader = loader
 
+        def set_epoch(self, epoch):
+            if hasattr(self.loader, "set_epoch"):
+                self.loader.set_epoch(epoch)
+
+        def skip_next_batches(self, k):
+            if hasattr(self.loader, "skip_next_batches"):
+                self.loader.skip_next_batches(k)
+
         def __iter__(self):
             import numpy as np
             for batch in self.loader:
@@ -240,6 +263,17 @@ def main(argv=None):
                 # batches score exactly (train loss ignores it)
                 yield {k: v for k, v in batch.items()
                        if isinstance(v, np.ndarray)}
+
+    # exact mid-epoch resume: if the interrupt handler saved a data-
+    # schedule position next to the state, replay the interrupted epoch
+    # from that point (requires the seeded loader — the default)
+    resume_sched = None
+    if args.resume and getattr(args, "data_seed", 0) not in (None, -1):
+        sched_path = os.path.join(args.cp_dir, "last_state.sched.json")
+        if os.path.exists(sched_path):
+            import json
+            with open(sched_path) as f:
+                resume_sched = json.load(f)
 
     try:
         state = train_net(
@@ -255,7 +289,7 @@ def main(argv=None):
             resume_state_path=(os.path.join(args.cp_dir, "last_state.msgpack")
                                if args.resume else None),
             async_ckpt=getattr(args, "async_ckpt", False),
-            grad_accum=grad_accum)
+            grad_accum=grad_accum, resume_sched=resume_sched)
         return state
     except KeyboardInterrupt:
         save_model()

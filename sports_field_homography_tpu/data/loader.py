@@ -58,7 +58,12 @@ class Loader:
         self.drop_last = drop_last
         self.pad_last = pad_last
         self.prefetch_batches = prefetch_batches
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
+        # epoch-derived ordering (set_epoch) + one-shot batch skip: the
+        # exact mid-epoch resume machinery (see train/loop.py)
+        self._epoch: Optional[int] = None
+        self._skip_batches = 0
         # multi-host input sharding: (host_index, host_count).  batch_size
         # stays the GLOBAL batch; every host draws the same (seeded) index
         # order but decodes only its contiguous slice of each batch —
@@ -77,20 +82,40 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Derive the shuffle order from ``(seed, epoch)`` instead of the
+        mutating stream — every epoch's order is then a pure function of
+        the seed, so an interrupted epoch can be replayed exactly on
+        resume (and sharded hosts agree without consuming the same number
+        of epochs).  Requires a seeded loader; without a seed the call is
+        a no-op and ordering stays legacy-nondeterministic."""
+        self._epoch = int(epoch)
+
+    def skip_next_batches(self, k: int):
+        """One-shot: the next ``__iter__`` starts ``k`` batches into the
+        epoch (mid-epoch resume — the skipped batches are not decoded)."""
+        self._skip_batches = max(0, int(k))
+
     def _index_order(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            if self._epoch is not None and self.seed is not None:
+                rng = np.random.default_rng([int(self.seed), self._epoch])
+                rng.shuffle(order)
+            else:
+                self._rng.shuffle(order)
         return order
 
     def __iter__(self) -> Iterator[Dict[str, object]]:
         order = self._index_order()
         bs = self.batch_size
         n = len(order)
+        first = self._skip_batches * bs
+        self._skip_batches = 0
 
         def batches_of_indices():
             """Yield (local_indices, local_valid) per batch."""
-            for start in range(0, n, bs):
+            for start in range(first, n, bs):
                 idx = order[start:start + bs]
                 if len(idx) < bs and self.drop_last:
                     return

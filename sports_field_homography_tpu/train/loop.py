@@ -231,7 +231,8 @@ def train_net(model, variables, court_img, court_poi, train_loader, n_train,
               opt="RMSprop", epochs=5, lr=1e-4, w_decay=1e-8,
               target_size=(1280, 720), cp_dir=None, log_dir=None, logger=None,
               vizualize=False, mesh=None, state_holder=None,
-              resume_state_path=None, async_ckpt=False, grad_accum=1):
+              resume_state_path=None, async_ckpt=False, grad_accum=1,
+              resume_sched=None):
     """Host-side training orchestration (reference ``train_net``).
 
     ``async_ckpt``: write epoch checkpoints through an orbax
@@ -241,6 +242,17 @@ def train_net(model, variables, court_img, court_poi, train_loader, n_train,
     ``grad_accum=K``: accumulate gradients over K loader batches per
     optimizer step (see ``make_train_step``); ``val_step_n`` counts
     optimizer steps either way.
+
+    ``resume_sched``: ``{"epoch": e, "opt_steps_done": k}`` — the data-
+    schedule position of an interrupted run (cli/train.py saves it next
+    to ``last_state.msgpack`` on SIGTERM/Ctrl-C).  Training continues
+    EXACTLY where it stopped: epoch ``e`` is replayed with its derived
+    ``(seed, epoch)`` order (``Loader.set_epoch``), the ``k`` consumed
+    optimizer steps' batches are skipped undecoded, and the run finishes
+    the ORIGINAL ``epochs`` plan — interrupted+resumed is bit-identical
+    to an uninterrupted run (tested).  Requires a seeded loader; without
+    ``resume_sched`` the legacy behavior stands (resume trains ``epochs``
+    more epochs from a fresh schedule).
     """
     import logging
     if logger is None:
@@ -333,11 +345,43 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
 
     global_step = int(state["step"])
     saver = None                      # lazy AsyncSaver when async_ckpt
-    for epoch in range(epochs):
+
+    # exact mid-epoch resume: position the epoch loop + data schedule at
+    # the interrupted run's exact point (see docstring)
+    batches_per_epoch = max(1, -(-n_train // batch_size))   # pad_last ceil
+    opt_steps_per_epoch = (batches_per_epoch // grad_accum if grad_accum > 1
+                           else batches_per_epoch)
+    start_epoch, resume_skip = 0, 0
+    if resume_sched:
+        start_epoch = int(resume_sched.get("epoch", 0))
+        resume_skip = int(resume_sched.get("opt_steps_done", 0))
+        if resume_skip >= opt_steps_per_epoch:   # died at an epoch boundary
+            start_epoch, resume_skip = start_epoch + 1, 0
+        if not hasattr(train_loader, "set_epoch"):
+            logger.info("resume_sched given but the loader has no "
+                        "set_epoch; falling back to a fresh schedule")
+            start_epoch, resume_skip = 0, 0
+        elif start_epoch >= epochs:
+            logger.info(f"Resumed run already finished its {epochs} "
+                        "epochs; nothing to do (raise --epochs to train "
+                        "further)")
+        else:
+            logger.info(f"Exact resume: epoch {start_epoch + 1}, skipping "
+                        f"{resume_skip} consumed optimizer steps")
+
+    for epoch in range(start_epoch, epochs):
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        skip_now = resume_skip if epoch == start_epoch else 0
+        if skip_now and hasattr(train_loader, "skip_next_batches"):
+            train_loader.skip_next_batches(skip_now * grad_accum)
+        steps_in_epoch = skip_now
         epoch_loss = 0.0
         t0 = time.time()
         pbar = (tqdm(total=n_train, desc=f"Epoch {epoch + 1}/{epochs}",
-                     unit="img") if tqdm is not None else None)
+                     unit="img",
+                     initial=min(skip_now * grad_accum * batch_size, n_train))
+                if tqdm is not None else None)
         epoch_batches = (train_loader if grad_accum == 1 else
                          _accumulation_groups(train_loader, grad_accum))
         for batch in epoch_batches:
@@ -359,8 +403,13 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                 state, logs = step_fn(state, batch, court_img, court_poi,
                                       warp_table)
             global_step += 1
+            steps_in_epoch += 1
             if state_holder is not None:   # expose for SIGTERM interrupt save
                 state_holder["state"] = state
+                # data-schedule position: written as last_state.sched.json
+                # by the interrupt handler for exact mid-epoch resume
+                state_holder["sched"] = {"epoch": epoch,
+                                         "opt_steps_done": steps_in_epoch}
             if pbar is not None:
                 img = batch["image"]
                 n_imgs = (len(img) if grad_accum == 1

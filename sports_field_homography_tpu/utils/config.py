@@ -185,6 +185,12 @@ def get_training_args(ret_parser: bool = False, argv=None):
     parser.add_argument("--resume", action="store_true", default=False,
                         help="Resume full training state (params + optimizer "
                              "+ step) from cp_dir/last_state.msgpack")
+    parser.add_argument("--data_seed", dest="data_seed", type=int, default=0,
+                        help="Seed for the train shuffle order; each epoch's "
+                             "order derives from (seed, epoch), enabling "
+                             "reproducible runs and exact mid-epoch resume. "
+                             "-1 restores the legacy nondeterministic "
+                             "shuffle (single-host only).")
     parser.add_argument("--uint8_inputs", type=int, default=None,
                         help="Ship train/val frames to the device as uint8 "
                              "(4x less host->device traffic; normalization "

@@ -491,3 +491,86 @@ def test_train_cli_async_ckpt_and_orbax_sweep(dataset_root, tmp_path):
                "--court_img", COURT_IMG, "--court_poi", COURT_POI,
                "--compute_dtype", "float32"])
     assert "Reprojection px:" in open(cp_dir / "test_scores.txt").read()
+
+
+def test_exact_mid_epoch_resume_bit_identical(dataset_root, tmp_path):
+    """Kill a seeded run mid-epoch, resume from the interrupt artifacts ->
+    final params bit-identical to the uninterrupted run (the resume_sched
+    contract in train_net: replay the epoch's (seed, epoch) order, skip
+    the consumed steps, finish the ORIGINAL epochs plan)."""
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.data.dataset import BasicDataset
+    from sports_field_homography_tpu.data.loader import Loader
+    from sports_field_homography_tpu.train.loop import LossConfig, train_net
+    from sports_field_homography_tpu.utils.checkpoint import save_train_state
+
+    class A:
+        batchsize = 4
+        target_size = (W, H); unet_size = (W, H); warp_size = (W, H)
+        court_size = (W, H); mask_classes = 4
+        use_unet = True; unet_bilinear = False; unet_uv = False
+        use_resnet = True; resnet_name = "resnet18"; resnet_input = "img+mask"
+        use_warper = True; compute_dtype = "float32"
+        court_img = COURT_IMG; court_poi = COURT_POI
+
+    ids = [f"gameA/{i:04d}.png" for i in range(8)]
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
+                          consist_loss=None, batch_size=4)
+
+    def fresh_loader():
+        ds = BasicDataset(ids, str(dataset_root / "frames"),
+                          str(dataset_root / "masks"),
+                          str(dataset_root / "anno"),
+                          ["poi", "reproj_mse"], 4, target_size=(W, H))
+        return Loader(ds, 4, shuffle=True, num_workers=2, drop_last=False,
+                      pad_last=True, seed=0)
+
+    class ArraysOnly:
+        """cli.train._TrackingLoader twin: arrays only + sched passthrough."""
+        def __init__(self, loader, die_after=None):
+            self.loader, self.die_after, self.count = loader, die_after, 0
+        def set_epoch(self, e): self.loader.set_epoch(e)
+        def skip_next_batches(self, k): self.loader.skip_next_batches(k)
+        def __iter__(self):
+            for b in self.loader:
+                if self.die_after is not None and self.count >= self.die_after:
+                    raise KeyboardInterrupt
+                self.count += 1
+                yield {k: v for k, v in b.items()
+                       if isinstance(v, np.ndarray)}
+
+    def run(train_loader, variables, **kw):
+        return train_net(
+            model=bundle.model, variables=variables,
+            court_img=bundle.court_img, court_poi=bundle.court_poi,
+            train_loader=train_loader, n_train=8, val_loader=None,
+            batch_size=4, val_step_n=100, loss_cfg=loss_cfg, opt="Adam",
+            epochs=2, lr=1e-3, w_decay=0.0, target_size=(W, H),
+            cp_dir=None, log_dir=None, **kw)
+
+    # uninterrupted reference run: 2 epochs x 2 steps
+    bundle = build_model(A)
+    full = run(ArraysOnly(fresh_loader()), bundle.variables)
+    assert int(full["step"]) == 4
+
+    # interrupted run: dies after 3 optimizer steps (mid-epoch 2)
+    bundle = build_model(A)
+    holder = {"state": None}
+    with pytest.raises(KeyboardInterrupt):
+        run(ArraysOnly(fresh_loader(), die_after=3), bundle.variables,
+            state_holder=holder)
+    assert holder["sched"] == {"epoch": 1, "opt_steps_done": 1}
+    state_path = tmp_path / "last_state.msgpack"
+    save_train_state(str(state_path), holder["state"])
+
+    # resume: replays epoch 2 skipping the consumed step -> 1 more step
+    bundle = build_model(A)
+    resumed = run(ArraysOnly(fresh_loader()), bundle.variables,
+                  resume_state_path=str(state_path),
+                  resume_sched=holder["sched"])
+    assert int(resumed["step"]) == 4
+
+    flat_full = jax.tree_util.tree_leaves(full["params"])
+    flat_res = jax.tree_util.tree_leaves(resumed["params"])
+    for a, b in zip(flat_full, flat_res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
