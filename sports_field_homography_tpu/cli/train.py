@@ -227,10 +227,6 @@ def main(argv=None):
 
     mesh = None
     if multihost:
-        if grad_accum > 1:
-            raise SystemExit("--grad_accum > 1 is not supported together "
-                             "with multi-host training (the per-host batch "
-                             "slicing assumes a leading batch axis)")
         from ..parallel.distributed import global_mesh
         from ..parallel.mesh import check_batch_divisible
         mesh = global_mesh()

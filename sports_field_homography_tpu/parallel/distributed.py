@@ -85,23 +85,39 @@ def process_slice(global_batch_size: int):
     return i * per, per
 
 
-def host_local_batch_to_global(batch: dict, mesh, batch_axis: str = "data"):
+def host_local_batch_to_global(batch: dict, mesh, batch_axis: str = "data",
+                               leading_accum: bool = False):
     """Assemble per-host batch shards into global jax.Arrays.
 
     Each host passes its LOCAL shard (leading dim = global/num_hosts);
     the result is a dict of global arrays sharded over ``batch_axis``,
     ready for a jitted step compiled against the global mesh.
+
+    ``leading_accum``: the leaves are gradient-accumulation super-batches
+    ``(K, B_local, ...)`` — glue/shard on axis 1 (the batch), keeping the
+    micro-batch scan axis K replicated (cf. ``mesh.shard_train_step``'s
+    ``batch_axis=1``).
     """
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
-    specs = {k: P(batch_axis) for k in batch}
+    spec = P(None, batch_axis) if leading_accum else P(batch_axis)
+    specs = {k: spec for k in batch}
     return multihost_utils.host_local_array_to_global_array(
         batch, mesh, specs)
 
 
-def _smoke(pid: int, nprocs: int, port: int = 12411) -> None:
-    """One real train step on a global multi-process CPU mesh."""
+def _smoke(pid: int, nprocs: int, port: int = 12411,
+           grad_accum: int = 1) -> None:
+    """One real train step on a global multi-process CPU mesh.
+
+    ``grad_accum=K``: run the gradient-accumulation variant — each host
+    stacks K local micro-batches into a ``(K, B_local, ...)`` super-batch,
+    assembly glues the batch axis (axis 1) across hosts, and the step
+    scans the K micro-batches (``loop.make_train_step(grad_accum=K)``).
+    Also runs the same K*B batch single-device (replicated) and prints
+    both losses so the test can check cross-host agreement AND local
+    value parity of the distributed accumulation path."""
     jax.config.update("jax_platforms", "cpu")
     initialize_distributed(coordinator=f"127.0.0.1:{port}",
                            num_hosts=nprocs, host_id=pid)
@@ -128,17 +144,23 @@ def _smoke(pid: int, nprocs: int, port: int = 12411) -> None:
 
     mesh = global_mesh(spatial=1)
     start, per = process_slice(gbs)
+    k = max(1, grad_accum)
     rng = np.random.RandomState(0)  # same stream everywhere; slice locally
     full = {
-        "image": rng.rand(gbs, h, w, 3).astype(np.float32),
-        "mask": rng.randint(0, 4, size=(gbs, h, w)).astype(np.int64),
-        "poi": rng.rand(gbs, 52, 2).astype(np.float32),
-        "nonzeros": np.ones((gbs, 52), np.float32),
-        "num_nonzero": np.full((gbs,), 52.0, np.float32),
-        "weight": np.ones((gbs, 1), np.float32),
+        "image": rng.rand(k * gbs, h, w, 3).astype(np.float32),
+        "mask": rng.randint(0, 4, size=(k * gbs, h, w)).astype(np.int64),
+        "poi": rng.rand(k * gbs, 52, 2).astype(np.float32),
+        "nonzeros": np.ones((k * gbs, 52), np.float32),
+        "num_nonzero": np.full((k * gbs,), 52.0, np.float32),
+        "weight": np.ones((k * gbs, 1), np.float32),
     }
-    local = {k: v[start:start + per] for k, v in full.items()}
-    gbatch = host_local_batch_to_global(local, mesh)
+    if k > 1:   # (K, gbs, ...) super-batches; hosts slice the batch axis
+        full = {key: v.reshape((k, gbs) + v.shape[1:])
+                for key, v in full.items()}
+        local = {key: v[:, start:start + per] for key, v in full.items()}
+    else:
+        local = {key: v[start:start + per] for key, v in full.items()}
+    gbatch = host_local_batch_to_global(local, mesh, leading_accum=k > 1)
 
     optimizer = make_optimizer("RMSprop", 1e-4, 1e-8)
     loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
@@ -148,11 +170,22 @@ def _smoke(pid: int, nprocs: int, port: int = 12411) -> None:
     state = jax.device_put(init_train_state(variables, optimizer), repl)
     ci = jax.device_put(court_img, repl)
     cp = jax.device_put(court_poi, repl)
-    step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))
+    step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg,
+                                      grad_accum=k))
     state, logs = step_fn(state, gbatch, ci, cp)
     jax.block_until_ready(logs)
     loss = float(logs["Tot_loss"])     # fully replicated -> host-readable
-    print(f"DIST_SMOKE pid={pid} loss={loss:.6f}", flush=True)
+    if k == 1:
+        print(f"DIST_SMOKE pid={pid} loss={loss:.6f}", flush=True)
+        return
+    # local value-parity reference: the SAME (K, gbs) super-batch on this
+    # host's single device, outside the distributed mesh
+    local_state = init_train_state(variables, optimizer)
+    local_step = jax.jit(make_train_step(model, optimizer, loss_cfg,
+                                         grad_accum=k))
+    _, local_logs = local_step(local_state, full, court_img, court_poi)
+    print(f"DIST_SMOKE_ACCUM pid={pid} loss={loss:.6f} "
+          f"local={float(local_logs['Tot_loss']):.6f}", flush=True)
 
 
 if __name__ == "__main__":
@@ -160,5 +193,9 @@ if __name__ == "__main__":
 
     if "--smoke" in sys.argv:
         i = sys.argv.index("--smoke")
+        accum = 1
+        if "--grad_accum" in sys.argv:
+            accum = int(sys.argv[sys.argv.index("--grad_accum") + 1])
         _smoke(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
-               port=int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 12411)
+               port=int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 12411,
+               grad_accum=accum)

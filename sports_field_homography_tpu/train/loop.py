@@ -389,7 +389,8 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                 # multi-host: per-host loader shards -> global jax.Arrays
                 # over the global mesh (parallel/distributed.py)
                 from ..parallel.distributed import host_local_batch_to_global
-                batch = host_local_batch_to_global(batch, mesh)
+                batch = host_local_batch_to_global(
+                    batch, mesh, leading_accum=grad_accum > 1)
             # on validation steps run the with_grads step variant so the TB
             # grad histograms come from the SAME single backward that also
             # updates the params (reference's post-backward .grad read,

@@ -53,3 +53,35 @@ def test_two_process_train_step_smoke():
         assert m, out[-2000:]
         losses.append(m.group(1))
     assert losses[0] == losses[1], losses
+
+
+def test_two_process_grad_accum_step_smoke():
+    """Multi-host x grad_accum: (K, B_local) super-batches glue on the
+    batch axis; distributed loss must agree across hosts AND match the
+    same K*B batch run single-device (value parity of the composition)."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m",
+             "sports_field_homography_tpu.parallel.distributed",
+             "--smoke", str(i), "2", str(port), "--grad_accum", "2"],
+            cwd="/root/repo", env=_child_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out[-4000:]
+    dist, local = [], []
+    for out in outs:
+        m = re.search(r"DIST_SMOKE_ACCUM pid=\d loss=([\d.]+) "
+                      r"local=([\d.]+)", out)
+        assert m, out[-2000:]
+        dist.append(float(m.group(1)))
+        local.append(float(m.group(2)))
+    assert dist[0] == dist[1], dist
+    # single-device reference: same math, different reduction order
+    assert abs(dist[0] - local[0]) < 1e-4 * max(1.0, abs(local[0])), \
+        (dist, local)
