@@ -52,6 +52,27 @@ def save_mask_as_png(mask, dst_dir, name, postfix="mask"):
     cv2.imwrite(os.path.join(dst_subdir, name + ".png"), mask)
 
 
+def _truncate_torn_pickle(path: str) -> None:
+    """Drop a torn trailing record from a pickle stream (crash mid-write).
+
+    An interrupted run can die with the last ``pickle.dump`` partially
+    flushed; appending onto those partial bytes would make the whole
+    stream unreadable from that point.  Complete records are kept; the
+    torn frame is re-predicted by the resume logic (at-least-once —
+    duplicate [name, buf] records are harmless, readers keep the last)."""
+    good = 0
+    with open(path, "rb") as f:
+        try:
+            while True:
+                pickle.load(f)
+                good = f.tell()
+        except Exception:
+            pass
+    if good < os.path.getsize(path):
+        with open(path, "rb+") as f:
+            f.truncate(good)
+
+
 class PickleMaskWriter:
     """Pickled PNG-buffer stream writer (reference ``predict.py:26-37``)."""
 
@@ -60,17 +81,23 @@ class PickleMaskWriter:
         # suffix: per-host part discriminator for multi-host runs (the
         # parts are byte-concatenated into data.pkl by host 0 — a
         # pickle.dump stream concatenates losslessly).  append: resumed
-        # runs extend the stream instead of truncating it.
+        # runs extend the stream instead of truncating it (repairing a
+        # torn tail record first).
         dst_subdir = os.path.join(dst_dir, postfix)
         os.makedirs(dst_subdir, exist_ok=True)
-        self.file = open(os.path.join(dst_subdir, "data.pkl" + suffix),
-                         "ab" if append else "wb+")
+        path = os.path.join(dst_subdir, "data.pkl" + suffix)
+        if append and os.path.exists(path):
+            _truncate_torn_pickle(path)
+        self.file = open(path, "ab" if append else "wb+")
 
     def write(self, name: str, mask: np.ndarray):
         import cv2
 
         _, buf = cv2.imencode(".png", mask)
         pickle.dump([name, buf], self.file)
+
+    def flush(self):
+        self.file.flush()
 
     def close(self):
         self.file.close()
@@ -413,6 +440,7 @@ def process(argv=None, num_data_workers: int = 4):
         if warp_mask is not None:
             warp_mask = _resize_masks(warp_mask, args.out_size)
 
+        json_records = []
         for i, n in enumerate(names):
             t = n.split("/")
             name = t[1] if len(t) == 2 else t[0]
@@ -438,9 +466,6 @@ def process(argv=None, num_data_workers: int = 4):
                     raise NotImplementedError(args.mask_save_format)
 
             if theta is not None or consist_score is not None or poi is not None:
-                if writer_state["json"] is None:
-                    writer_state["json"] = open(json_path,
-                                                "a" if resume else "w+")
                 outputs = {}
                 if consist_score is not None:
                     outputs["score"] = float("{:5f}".format(consist_score[i]))
@@ -448,12 +473,26 @@ def process(argv=None, num_data_workers: int = 4):
                     outputs["theta"] = theta[i]
                 if poi is not None:
                     outputs["poi"] = poi[i]
-                json.dump({name: outputs}, writer_state["json"], cls=NumpyEncoder)
-                writer_state["json"].write("\n")
+                json_records.append({name: outputs})
 
             if "debug" in req_outputs:
                 _write_debug(host, i, name, segm_mask, warp_mask,
                              consist_score, poi)
+
+        # crash-resume invariant: a frame's JSONL record (the resume
+        # ledger) must never persist before its masks — flush the pickle
+        # streams, THEN write + flush this batch's JSONL lines
+        if json_records:
+            for key in ("segm_pkl", "warp_pkl"):
+                if writer_state[key] is not None:
+                    writer_state[key].flush()
+            if writer_state["json"] is None:
+                writer_state["json"] = open(json_path,
+                                            "a" if resume else "w+")
+            for rec in json_records:
+                json.dump(rec, writer_state["json"], cls=NumpyEncoder)
+                writer_state["json"].write("\n")
+            writer_state["json"].flush()
 
     def _write_debug(host, i, name, segm_mask, warp_mask, consist_score, poi):
         import cv2

@@ -156,7 +156,17 @@ class DynamicBatcher:
         while True:
             group = self._collect()
             if group is None:
-                return
+                # shutdown: anything that raced past the _closed check and
+                # enqueued BEHIND the sentinel would block its submitter
+                # until timeout — fail those requests explicitly instead
+                while True:
+                    try:
+                        p = self._q.get_nowait()
+                    except queue.Empty:
+                        return
+                    if p is not None:
+                        p.error = RuntimeError("batcher is closed")
+                        p.event.set()
             t0 = time.perf_counter()
             n = len(group)
             bucket = self._bucket_for(n)

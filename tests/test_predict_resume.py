@@ -205,3 +205,59 @@ def test_fresh_run_ignores_resume_flag_without_part(workspace, tmp_path):
     out = json.load(open(tmp_path / "frames_court.json"))
     frames = {k: v for k, v in out.items() if k != "model"}
     assert len(frames) == N_FRAMES
+
+
+def test_truncate_torn_pickle_unit(tmp_path):
+    import pickle
+    from sports_field_homography_tpu.cli.predict import _truncate_torn_pickle
+
+    path = str(tmp_path / "data.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(["a", b"png-bytes-a"], f)
+        pickle.dump(["b", b"png-bytes-b"], f)
+        f.write(b"\x80\x04\x95torn")          # crash mid-dump
+    _truncate_torn_pickle(path)
+    names = []
+    with open(path, "rb") as f:
+        try:
+            while True:
+                rec = pickle.load(f)
+                names.append(rec[0])
+        except EOFError:
+            pass
+    assert names == ["a", "b"]
+    # idempotent on a clean stream
+    size = os.path.getsize(path)
+    _truncate_torn_pickle(path)
+    assert os.path.getsize(path) == size
+
+
+def test_resume_repairs_torn_pickle_stream(workspace, tmp_path):
+    """Pickle mask streams survive a crash: the torn tail record is
+    dropped before appending, so the resumed stream reads end-to-end and
+    covers every frame (duplicates allowed — at-least-once, last wins)."""
+    import pickle
+
+    done = [f"{i:06d}" for i in range(2)]
+    _seed_part(tmp_path, done)
+    pkl_dir = tmp_path / "court" / "segm_mask"
+    pkl_dir.mkdir(parents=True)
+    with open(pkl_dir / "data.pkl", "wb") as f:
+        for n in done:
+            pickle.dump([n, b"fake-png-from-interrupted-run"], f)
+        f.write(b"\x80\x04\x95partial-frame-2")   # torn mid-write
+    run(workspace, tmp_path,
+        extra=["--resume", "--req_outputs", "theta,segm_mask",
+               "--mask_save_format", "pickle"])
+
+    masks = {}
+    with open(pkl_dir / "data.pkl", "rb") as f:
+        try:
+            while True:
+                name, buf = pickle.load(f)     # raises if stream corrupt
+                masks[name] = buf
+        except EOFError:
+            pass
+    assert set(masks) == {f"{i:06d}" for i in range(N_FRAMES)}
+    # the ledger-recorded frames kept their original (interrupted) masks
+    assert masks["000000"] == b"fake-png-from-interrupted-run"
