@@ -8,9 +8,11 @@
 # sweeps the final checkpoint with test.py and FAILS (exit 1) unless the
 # full-set reprojection error is below $MAX_PX.
 #
-# Usage: scripts/nightly_convergence.sh [workdir] [epochs] [max_px]
+# Usage: scripts/nightly_convergence.sh [workdir] [epochs] [max_px] [W H] [batch]
 #   quick smoke:   scripts/nightly_convergence.sh /tmp/sfh_nightly 2 60
 #   full nightly:  scripts/nightly_convergence.sh /tmp/sfh_nightly 30 5
+#   production-shape (the reference's 640x360 operating point; ~87 s/epoch
+#   on the tunneled chip): scripts/nightly_convergence.sh /tmp/sfh_prod 60 5 640 360
 # Calibration (full-1024-set reprojection px from test.py sweeps):
 # epoch 2 ~45, epoch 8 ~13.6, epoch 16 ~16.8, epoch 30 3.9 (round-2 run)
 # / 4.9 (round-3 run; val reproj 2.4 px at epoch 29) — the smoke
@@ -23,12 +25,15 @@ cd "$(dirname "$0")/.."
 DST=${1:-/tmp/sfh_nightly}
 EPOCHS=${2:-30}
 MAX_PX=${3:-5}
+W=${4:-320}
+H=${5:-180}
+BATCH=${6:-24}
 
 rm -rf "$DST"
 mkdir -p "$DST"
 
 python scripts/make_synthetic_dataset.py --dst "$DST/data" --n 1024 \
-    --size 320 180
+    --size "$W" "$H"
 
 cat > "$DST/conf.yaml" <<EOF
 img_dir: $DST/data/frames
@@ -38,10 +43,10 @@ anno_keys: ['poi']
 val_names: ['val_game']
 court_img: assets/mask_ncaa_v4_nc4_m_onehot.png
 court_poi: assets/template_ncaa_v4_points.json
-target_size: [320, 180]
-unet_size: [320, 180]
-warp_size: [320, 180]
-court_size: [320, 180]
+target_size: [$W, $H]
+unet_size: [$W, $H]
+warp_size: [$W, $H]
+court_size: [$W, $H]
 mask_classes: 4
 use_unet: true
 unet_bilinear: false
@@ -52,7 +57,7 @@ opt: 'RMSprop'
 lr: 0.0001
 weight_decay: 0.00000001
 epochs: $EPOCHS
-batchsize: 24
+batchsize: $BATCH
 seg_loss: 'CE'
 rec_loss: 'MSE'
 reproj_loss: 'RRMSE'
@@ -72,7 +77,7 @@ if [ "$EPOCHS" -ge 3 ]; then
 fi
 python test.py --cp_dir "$DST/ckpt" --test_epochs "$SWEEP" \
     --img_dir "$DST/data/frames" --mask_dir "$DST/data/masks" \
-    --anno_dir "$DST/data/anno" --batchsize 24 \
+    --anno_dir "$DST/data/anno" --batchsize "$BATCH" \
     --court_img assets/mask_ncaa_v4_nc4_m_onehot.png \
     --court_poi assets/template_ncaa_v4_points.json
 

@@ -349,10 +349,10 @@ def process(argv=None, num_data_workers: int = 4):
         hi = lo + (data.n if in_shard else len(data))
         if args.img_dir is not None:
             # JSONL keys are the ids without extension (writer name rule)
-            keep = [i for i in range(lo, hi)
+            todo = [i for i in range(lo, hi)
                     if base.ids[i][: base.ids[i].rfind(".")] not in done_names]
-            n_skip = (hi - lo) - len(keep)
-            data = _IndexView(base, keep)
+            n_skip = (hi - lo) - len(todo)
+            data = _IndexView(base, todo)
         else:
             # video names are zero-padded absolute frame indices written
             # in order: advance past the contiguous done prefix

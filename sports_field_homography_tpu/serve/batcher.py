@@ -121,6 +121,18 @@ class DynamicBatcher:
         self._closed = True
         self._q.put(None)
         self._worker.join(timeout=30)
+        # a submit that passed the _closed check but enqueued only after
+        # the worker's own shutdown drain returned would block its caller
+        # forever — nobody is consuming the queue anymore, so fail any
+        # such straggler here
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if p is not None:
+                p.error = RuntimeError("batcher is closed")
+                p.event.set()
 
     # ------------------------------------------------------------- worker
     def _collect(self):

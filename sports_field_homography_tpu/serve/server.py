@@ -15,7 +15,8 @@ Endpoints:
     ``{"theta": 3x3, "score": float, "poi": [[x,y]...], ...}`` per
     ``--req_outputs``; mask outputs are base64 PNGs.
   * ``GET /healthz`` — liveness + backend.
-  * ``GET /stats``   — batcher counters and latency quantiles.
+  * ``GET /stats``   — batcher counters and latency quantiles (JSON).
+  * ``GET /metrics`` — the same counters in the Prometheus text format.
 
 Serves either a checkpoint (``--load`` + sidecar conf.yaml, exactly like
 the predict CLI) or a self-contained StableHLO artifact
@@ -151,6 +152,31 @@ def _build_from_artifact(path: str):
     return run_batch, (int(h), int(w), 3), dtype, forced
 
 
+def _prometheus_metrics(stats: dict) -> str:
+    """Batcher counters in the Prometheus text exposition format (what
+    production scrapers consume; ``/stats`` keeps the human JSON view)."""
+    lines = [
+        "# TYPE sfh_requests_total counter",
+        f"sfh_requests_total {stats['requests']}",
+        "# TYPE sfh_batches_total counter",
+        f"sfh_batches_total {stats['batches']}",
+        "# TYPE sfh_errors_total counter",
+        f"sfh_errors_total {stats['errors']}",
+    ]
+    if stats.get("mean_occupancy") is not None:
+        lines += ["# TYPE sfh_batch_occupancy_mean gauge",
+                  f"sfh_batch_occupancy_mean {stats['mean_occupancy']:.4f}"]
+    lines.append("# TYPE sfh_batches_by_bucket_total counter")
+    for bucket, n in stats["batch_hist"].items():
+        lines.append(f'sfh_batches_by_bucket_total{{bucket="{bucket}"}} {n}')
+    lat = stats.get("latency_ms") or {}
+    lines.append("# TYPE sfh_request_latency_ms gauge")
+    for q, v in lat.items():
+        if v is not None:
+            lines.append(f'sfh_request_latency_ms{{quantile="{q}"}} {v}')
+    return "\n".join(lines) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     # class-level service state, set by create_server
     batcher: DynamicBatcher = None
@@ -178,9 +204,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {"ok": True, "backend": jax.default_backend()})
         elif self.path == "/stats":
             self._send(200, self.batcher.stats())
+        elif self.path == "/metrics":
+            body = _prometheus_metrics(self.batcher.stats()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._send(404, {"error": "unknown path; use POST /predict, "
-                                      "GET /healthz, GET /stats"})
+                                      "GET /healthz, GET /stats, "
+                                      "GET /metrics"})
 
     def do_POST(self):
         if self.path != "/predict":

@@ -151,6 +151,24 @@ def test_healthz_and_stats(server):
     assert stats["buckets"] == [1, 2, 4]
 
 
+def test_prometheus_metrics(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server["port"], timeout=30)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    text = resp.read().decode()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/plain")
+    conn.close()
+    lines = {l.split(" ")[0]: l for l in text.splitlines()
+             if l and not l.startswith("#")}
+    assert float(lines["sfh_requests_total"].split()[1]) >= 1
+    assert float(lines["sfh_batches_total"].split()[1]) >= 1
+    assert 'sfh_batches_by_bucket_total{bucket="1"}' in text \
+        or 'sfh_batches_by_bucket_total{bucket="2"}' in text \
+        or 'sfh_batches_by_bucket_total{bucket="4"}' in text
+    assert 'sfh_request_latency_ms{quantile="p50"}' in text
+
+
 def test_dynamic_batching_coalesces(server):
     """8 concurrent posts with a 30 ms window must coalesce: fewer
     batches than requests, some batch bigger than 1."""
@@ -212,6 +230,25 @@ def test_batcher_error_propagation():
         b.submit(np.zeros((5, 4, 3), np.uint8))
     assert b.stats()["errors"] == 1
     b.close()
+
+
+def test_batcher_close_fails_stragglers():
+    """A request that lands in the queue only after the worker's shutdown
+    drain must be failed by close(), not left blocked forever."""
+    from sports_field_homography_tpu.serve.batcher import DynamicBatcher, _Pending
+
+    b = DynamicBatcher(lambda frames: {"y": frames.sum(axis=(1, 2, 3))},
+                       (4, 4, 3), max_batch=2, max_delay_ms=1, buckets=(2,))
+    b._closed = True
+    b._q.put(None)
+    b._worker.join(timeout=30)
+    assert not b._worker.is_alive()
+    # simulate the race: an item enqueued after the worker already exited
+    straggler = _Pending(np.zeros((4, 4, 3), np.uint8))
+    b._q.put(straggler)
+    b.close()
+    assert straggler.event.is_set()
+    assert isinstance(straggler.error, RuntimeError)
 
 
 def test_serve_artifact_fixed_batch(tmp_path):
