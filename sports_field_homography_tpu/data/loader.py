@@ -134,6 +134,18 @@ class Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer abandoned the
+            iterator (an unchecked blocking put on the full queue would
+            leave this thread stuck forever)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
@@ -147,13 +159,15 @@ class Loader:
                         batch = _collate(samples)
                         batch["valid"] = valid
                         batch["num_valid"] = int(valid.sum())
-                        out_q.put(batch)
+                        if not put_or_stop(batch):
+                            return
+                put_or_stop(None)
             except BaseException as e:  # surface worker errors to the consumer
-                out_q.put(e)
-            finally:
-                out_q.put(None)
+                if put_or_stop(e):
+                    put_or_stop(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True,
+                             name="sfh-loader-producer")
         t.start()
         try:
             while True:
@@ -165,6 +179,7 @@ class Loader:
                 yield item
         finally:
             stop.set()
+            t.join(timeout=5)
 
 
 def device_prefetch(iterator, depth: int = 2, sharding=None, keys=("image",)):

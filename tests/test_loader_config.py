@@ -66,6 +66,29 @@ class TestLoader:
         with pytest.raises(RuntimeError, match="decode failed"):
             list(Loader(Bad(6), 2, num_workers=2))
 
+    def test_abandoned_iteration_stops_producer(self):
+        """Closing the iterator mid-epoch must terminate the producer
+        thread (a blocking put on the full prefetch queue would otherwise
+        leave it stuck forever)."""
+        import threading
+        import time
+
+        from sports_field_homography_tpu.data.loader import Loader
+
+        loader = Loader(_ToyDataset(64), batch_size=2, num_workers=1,
+                        prefetch_batches=1)
+        it = iter(loader)
+        next(it)          # producer now decodes ahead and fills the queue
+        it.close()        # generator finally: stop + join
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if not any(t.name == "sfh-loader-producer"
+                       for t in threading.enumerate()):
+                break
+            time.sleep(0.05)
+        assert not any(t.name == "sfh-loader-producer"
+                       for t in threading.enumerate())
+
     def test_device_prefetch_preserves_stream(self):
         from sports_field_homography_tpu.data.loader import Loader, device_prefetch
 
