@@ -9,6 +9,15 @@ working training loop must drive reprojection error down.
 Usage:
   python scripts/make_synthetic_dataset.py --dst /tmp/synth --n 512 \
       [--size 320 180] [--val_frac 0.1]
+
+Defaults to the NCAA template; ``--court_img/--court_poi/--classes``
+switch sports (e.g. the soccer pitch: ``--court_img
+assets/pitch_mask_nc4_hd.png --court_poi
+assets/template_pitch_points.json``).  A color court mask (the pitch
+assets are RGBA class-color images; the reference converts them with its
+``generate_onehot`` prep step) is converted to a label-coded grayscale
+template and written to ``<dst>/court_template_onehot.png`` — point the
+training conf's ``court_img`` there.
 """
 from __future__ import annotations
 
@@ -48,6 +57,9 @@ def main(argv=None):
     ap.add_argument("--uv", action="store_true",
                     help="also write masks_uv/ uint16 (mask,u,v) tiffs — "
                          "the unet_uv training inputs (notebook step 9)")
+    ap.add_argument("--court_img", default=TEMPLATE)
+    ap.add_argument("--court_poi", default=POI)
+    ap.add_argument("--classes", type=int, default=4)
     args = ap.parse_args(argv)
 
     import jax
@@ -56,12 +68,30 @@ def main(argv=None):
     import jax.numpy as jnp
 
     w, h = args.size
-    tmpl = np.array(Image.open(TEMPLATE).resize((w, h), Image.NEAREST),
-                    np.float32)
-    if tmpl.ndim == 3:
-        tmpl = tmpl[..., 0]
-    tmpl = tmpl / 4.0
-    poi = load_court_poi(POI)                       # [-1, 1]
+    nc = args.classes
+    raw = np.array(Image.open(args.court_img).convert("RGB"))
+    if len(np.unique(raw.reshape(-1, 3), axis=0)) > nc or np.ptp(raw) > nc:
+        # color class mask (e.g. assets/pitch_mask_nc4_hd.png) -> label-coded
+        # grayscale, reference generate_onehot semantics (prep/preparation)
+        from sports_field_homography_tpu.prep.preparation import (
+            MASK_CLASS_MAPPINGS)
+        labels_full = np.zeros(raw.shape[:2], np.uint8)
+        for cid, color in MASK_CLASS_MAPPINGS[nc].items():
+            labels_full[np.all(raw == color, axis=2)] = cid
+        assert labels_full.max() > 0, \
+            f"no mapped class colors found in {args.court_img}"
+        os.makedirs(args.dst, exist_ok=True)
+        tmpl_path = os.path.join(args.dst, "court_template_onehot.png")
+        Image.fromarray(labels_full).save(tmpl_path)
+        print(f"converted color court mask -> label template: {tmpl_path}"
+              f" (set court_img to this path in the training conf)")
+    else:   # already label-coded (the NCAA *_onehot.png assets)
+        labels_full = np.array(Image.open(args.court_img))
+        if labels_full.ndim == 3:
+            labels_full = labels_full[..., 0]
+    tmpl = np.array(Image.fromarray(labels_full).resize((w, h), Image.NEAREST),
+                    np.float32) / float(nc)
+    poi = load_court_poi(args.court_poi)            # [-1, 1]
     rng = np.random.RandomState(args.seed)
 
     warp = jax.jit(lambda t, th: warp_homography(t, th, (h, w), "nearest"))
@@ -90,7 +120,7 @@ def main(argv=None):
             bs = min(32, remaining)
             thetas = np.stack([sample_theta(rng) for _ in range(bs)])
             warped = np.asarray(warp(tmpl_b[:bs], jnp.asarray(thetas)))
-            labels = np.round(warped[..., 0] * 4).astype(np.uint8)
+            labels = np.round(warped[..., 0] * nc).astype(np.uint8)
             from sports_field_homography_tpu.geometry.homography import (
                 inverse_3x3, transform_points)
             inv = np.asarray(inverse_3x3(jnp.asarray(thetas)))
@@ -100,7 +130,7 @@ def main(argv=None):
             pts01 = pts / 2.0 + 0.5
             for i in range(bs):
                 name = f"{idx:06d}"
-                rgb = onehot_to_image(labels[i], 4)[0].astype(np.float32)
+                rgb = onehot_to_image(labels[i], nc)[0].astype(np.float32)
                 # light texture + noise so segmentation isn't trivial
                 yy = np.linspace(0, 40, h, dtype=np.float32)[:, None, None]
                 frame = np.clip(rgb * 0.7 + 40 + yy
