@@ -203,21 +203,53 @@ def main(argv=None):
         if state_holder["state"] is not None:
             s = state_holder["state"]
             path = os.path.join(args.cp_dir, "last.msgpack")
-            save_checkpoint(path, {"params": s["params"],
-                                   "batch_stats": s["batch_stats"]})
-            # full train state (opt_state + step) for true resume
-            save_train_state(os.path.join(args.cp_dir, "last_state.msgpack"), s)
-            if state_holder.get("sched") is not None:
-                # data-schedule position: --resume replays the interrupted
-                # epoch's exact order and skips the consumed steps
-                import json
-                with open(os.path.join(args.cp_dir,
-                                       "last_state.sched.json"), "w") as f:
-                    json.dump(state_holder["sched"], f)
-            logger.info("Saved interrupt to {}".format(path))
+            try:
+                save_checkpoint(path, {"params": s["params"],
+                                       "batch_stats": s["batch_stats"]})
+                # full train state (opt_state + step) for true resume
+                save_train_state(
+                    os.path.join(args.cp_dir, "last_state.msgpack"), s)
+                if state_holder.get("sched") is not None:
+                    # data-schedule position: --resume replays the interrupted
+                    # epoch's exact order and skips the consumed steps
+                    import json
+                    with open(os.path.join(args.cp_dir,
+                                           "last_state.sched.json"), "w") as f:
+                        json.dump(state_holder["sched"], f)
+                logger.info("Saved interrupt to {}".format(path))
+            except RuntimeError as e:
+                # the train step donates the input state's buffers
+                # (train/loop.py), so a state captured while a step is in
+                # flight is unrecoverable from this frame.  The deferred
+                # signal path below avoids this window; this fallback only
+                # fires for a raw KeyboardInterrupt raised mid-dispatch.
+                logger.warning(
+                    "Interrupt save skipped: params were donated to an "
+                    "in-flight step ({}). Resume from the newest epoch "
+                    "checkpoint in {} instead.".format(e, args.cp_dir))
         sys.exit(0)
 
-    signal.signal(signal.SIGTERM, save_model)
+    def request_interrupt(signum=None, frame=None):
+        """SIGTERM/SIGINT: defer the save to the train loop's next safe
+        point.  The jitted step donates the input state's device buffers
+        (train/loop.py donate_argnums), so while a step is in flight —
+        i.e. most of the wall time — every state the handler can reach is
+        already deleted and serializing it would crash the run with
+        'Array has been deleted' instead of saving.  Setting a flag and
+        returning lets the in-flight step finish; the loop then saves the
+        fresh (live) state and exits 0.  A second signal force-exits."""
+        if state_holder.get("interrupt"):
+            logger.warning("Second interrupt: exiting without a save.")
+            os._exit(1)
+        if state_holder["state"] is None:      # nothing trained yet
+            sys.exit(0)
+        state_holder["interrupt"] = True
+        state_holder["save_and_exit"] = save_model
+        logger.info("Interrupt requested: finishing the in-flight step, "
+                    "then saving the interrupt checkpoint...")
+
+    prev_term = signal.signal(signal.SIGTERM, request_interrupt)
+    prev_int = signal.signal(signal.SIGINT, request_interrupt)
 
     grad_accum = int(getattr(args, "grad_accum", 1) or 1)
     if grad_accum > 1:
@@ -288,11 +320,18 @@ def main(argv=None):
             grad_accum=grad_accum, resume_sched=resume_sched)
         return state
     except KeyboardInterrupt:
+        # only reachable if KeyboardInterrupt is raised by other means than
+        # SIGINT (the handler above defers those); save_model tolerates a
+        # donated mid-step state
         save_model()
         try:
             sys.exit(0)
         except SystemExit:
             os._exit(0)
+    finally:
+        # in-process callers (tests) must not keep the handlers installed
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
 
 
 if __name__ == "__main__":

@@ -346,6 +346,18 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
     global_step = int(state["step"])
     saver = None                      # lazy AsyncSaver when async_ckpt
 
+    def _interrupt_check():
+        # deferred SIGTERM/SIGINT save (cli/train.py request_interrupt):
+        # only between steps is the state guaranteed live — the jitted
+        # step donates its input buffers, so a mid-step save would find
+        # deleted arrays.  save_and_exit saves last_state + exits 0.
+        if state_holder is not None and state_holder.get("interrupt"):
+            cb = state_holder.get("save_and_exit")
+            if cb is not None:
+                if saver is not None:
+                    saver.wait()     # flush pending async epoch ckpts
+                cb()
+
     # exact mid-epoch resume: position the epoch loop + data schedule at
     # the interrupted run's exact point (see docstring)
     batches_per_epoch = max(1, -(-n_train // batch_size))   # pad_last ceil
@@ -411,6 +423,7 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                 # by the interrupt handler for exact mid-epoch resume
                 state_holder["sched"] = {"epoch": epoch,
                                          "opt_steps_done": steps_in_epoch}
+            _interrupt_check()
             if pbar is not None:
                 img = batch["image"]
                 n_imgs = (len(img) if grad_accum == 1
@@ -474,6 +487,7 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                 if vizualize and writer is not None:
                     _tb_images(writer, result, model.config.mask_classes,
                                global_step)
+                _interrupt_check()   # signal may have landed during eval
 
         if pbar is not None:
             pbar.close()
@@ -495,6 +509,7 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                 path = os.path.join(cp_dir, f"CP_epoch{epoch + 1}.msgpack")
                 save_checkpoint(path, ck)
                 logger.info(f"Checkpoint {epoch + 1} saved !")
+        _interrupt_check()           # signal during the epoch-end save
 
     if saver is not None:
         saver.wait()
