@@ -53,14 +53,22 @@ class AsyncSaver:
         self._ckptr.close()
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """Serialize-then-rename: a failure mid-save (deleted device buffer,
+    OOM, kill -9) must never truncate an existing good checkpoint."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, variables: Dict[str, Any]) -> None:
     """Save model variables; format chosen by path (.msgpack or orbax dir)."""
     if path.endswith(".msgpack"):
         from flax import serialization
 
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes(variables))
+        _atomic_write(path, serialization.to_bytes(variables))
         return
     # orbax directory
     import jax
@@ -108,9 +116,7 @@ def save_train_state(path: str, state) -> None:
     """
     from flax import serialization
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(state))
+    _atomic_write(path, serialization.to_bytes(state))
 
 
 def load_train_state(path: str, target):

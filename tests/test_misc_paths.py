@@ -28,6 +28,31 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                   variables["batch_stats"]["m"])
 
 
+def test_failed_save_never_truncates_existing_checkpoint(tmp_path):
+    """A save that dies mid-serialization (e.g. a state buffer donated to
+    an in-flight step) must leave the previous good file intact — the old
+    open-then-serialize order truncated it to 0 bytes (observed when a
+    SIGTERM save crashed a real 60-epoch run)."""
+    import pytest
+    from flax import serialization
+    from sports_field_homography_tpu.utils.checkpoint import save_checkpoint
+
+    path = str(tmp_path / "last.msgpack")
+    good = {"params": {"w": np.ones((3,), np.float32)}}
+    save_checkpoint(path, good)
+    size = os.path.getsize(path)
+    assert size > 0
+
+    dead = jnp.ones((3,), jnp.float32)
+    dead.delete()                       # same error as a donated buffer
+    with pytest.raises(RuntimeError):
+        save_checkpoint(path, {"params": {"w": dead}})
+    assert os.path.getsize(path) == size
+    restored = serialization.msgpack_restore(open(path, "rb").read())
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  good["params"]["w"])
+
+
 def test_uv_training_pipeline(tmp_path):
     """unet_uv end to end: uint16 TIFF masks -> dataset -> train step with
     UV loss (resnet_input img+mask+uv)."""
