@@ -23,6 +23,13 @@ the predict CLI) or a self-contained StableHLO artifact
 (``--serving_artifact``, from ``scripts/export_serving.py``) — the
 artifact path runs with weights baked into the program, no model code.
 
+Multi-chip: ``--num_devices N`` shards every batch bucket ``P('data')``
+over a device mesh (the same jitted body as single-chip — see
+``parallel.mesh.shard_predict_fn``), multiplying the endpoint's
+throughput ceiling by N.  Buckets become ``N × powers-of-two`` so every
+bucket splits evenly; responses are value-identical to single-chip
+(tests/test_serve_multichip.py).
+
 Usage:
   python serve.py --load ckpt/CP_epoch30.msgpack --port 8800
   python serve.py --serving_artifact ckpt/serving --port 8800
@@ -39,6 +46,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from ..parallel.mesh import check_batch_divisible
 from ..utils.config import get_serving_args, parse_config, replace_args
 from ..utils.logger import get_logger
 from .batcher import DynamicBatcher, default_buckets
@@ -123,12 +131,34 @@ def _build_from_checkpoint(args):
         keep.add("consist_score")
     if project_poi:
         keep.add("poi")
-    fn = jit_predict_fn(bundle, consistency=consistency,
-                        project_poi=project_poi, keep=tuple(keep))
-    variables = bundle.variables
 
-    def run_batch(frames: np.ndarray):
-        return fn(variables, frames)
+    n_dev = args.num_devices or 1
+    if n_dev > 1:
+        # multi-chip serving: each batch bucket is sharded P('data') over
+        # the mesh — the SAME jitted body as single-chip (shard_predict_fn
+        # delegates to jit_predict_fn with a mesh), so responses are
+        # value-identical by construction.  Buckets must be multiples of
+        # num_devices (create_server enforces/derives that).
+        import jax
+
+        from ..parallel.mesh import make_mesh, shard_predict_fn
+        mesh = make_mesh(n_dev)
+        fn, batch_sharding, repl = shard_predict_fn(
+            bundle, mesh, consistency=consistency,
+            project_poi=project_poi, keep=tuple(keep))
+        variables = jax.device_put(bundle.variables, repl)
+
+        def run_batch(frames: np.ndarray):
+            # place the batch sharded up front (a plain numpy arg would
+            # land whole on device 0 and reshard inside the program)
+            return fn(variables, jax.device_put(frames, batch_sharding))
+    else:
+        fn = jit_predict_fn(bundle, consistency=consistency,
+                            project_poi=project_poi, keep=tuple(keep))
+        variables = bundle.variables
+
+        def run_batch(frames: np.ndarray):
+            return fn(variables, frames)
 
     w, h = bundle.config.target_size
     return run_batch, (h, w, 3), np.uint8, None
@@ -269,12 +299,24 @@ def create_server(argv=None):
     else:
         run_batch, frame_shape, dtype, forced = _build_from_checkpoint(args)
 
+    n_dev = (args.num_devices or 1) if not args.serving_artifact else 1
+    if args.serving_artifact and (args.num_devices or 1) > 1:
+        logger.info("--num_devices is ignored with --serving_artifact "
+                    "(the artifact is a fixed single-device program; serve "
+                    "a checkpoint for mesh-sharded buckets)")
     if forced is not None:
         buckets = forced
         logger.info(f"fixed-batch artifact: serving bucket {forced[0]} only "
                     "(export with --poly_batch for size-adaptive buckets)")
     elif args.buckets:
         buckets = sorted(int(b) for b in args.buckets.split(","))
+        for b in buckets:
+            check_batch_divisible(b, n_dev, flag="--buckets")
+    elif n_dev > 1:
+        # sharded buckets must split evenly over the mesh: num_devices x
+        # powers of two (the smallest bucket is one frame per chip)
+        buckets = [n_dev * b for b in
+                   default_buckets(max(1, args.max_batch // n_dev))]
     else:
         buckets = default_buckets(args.max_batch)
 

@@ -1,0 +1,97 @@
+"""Multi-chip online serving: ``serve.py --num_devices N``.
+
+The dynamic batcher's buckets shard ``P('data')`` over a device mesh —
+the same jitted body as single-chip serving (``shard_predict_fn``
+delegates to ``jit_predict_fn`` with a mesh), so responses must be
+value-identical to the single-chip server.  Runs on the 8-device
+virtual CPU platform (tests/conftest.py).
+"""
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from test_serve import H, W, COURT_IMG, COURT_POI, _post_image, _start, \
+    _write_ckpt
+
+
+@pytest.fixture(scope="module")
+def mc_server(tmp_path_factory):
+    cp = _write_ckpt(str(tmp_path_factory.mktemp("ckpt_mc")))
+    httpd, batcher, port = _start([
+        "--load", cp, "--port", "0", "--num_devices", "2",
+        "--req_outputs", "theta,consistency",
+        "--max_batch", "8", "--max_delay_ms", "30",
+        "--compute_dtype", "float32",
+        "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+    ])
+    yield {"port": port, "batcher": batcher, "cp": cp}
+    httpd.shutdown()
+    batcher.close()
+
+
+def test_buckets_are_device_multiples(mc_server):
+    """Default buckets over 2 devices: 2 x powers of two up to max_batch."""
+    assert mc_server["batcher"].buckets == (2, 4, 8)
+
+
+def test_multichip_matches_single_chip(mc_server):
+    """Concurrent posts through the sharded buckets bit-match the
+    single-chip jitted predict on the same checkpoint."""
+    rng = np.random.RandomState(13)
+    imgs = [rng.randint(0, 255, (H, W, 3), np.uint8) for _ in range(6)]
+    results = [None] * len(imgs)
+
+    def post(i):
+        results[i] = _post_image(mc_server["port"], imgs[i])
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results), results
+
+    from sports_field_homography_tpu.cli.engine import (build_model,
+                                                        jit_predict_fn)
+    from test_serve import _Args
+    bundle = build_model(_Args, load=mc_server["cp"],
+                         warp_with_nearest=True, batch_size=1, fold_bn=True)
+    fn = jit_predict_fn(bundle, consistency=True, project_poi=False,
+                        keep=("theta", "consist_score"))
+    direct = jax.device_get(fn(bundle.variables, np.stack(imgs)))
+    for i, (status, body) in enumerate(results):
+        # ulp-level f32 tolerance: the server's padded bucket (e.g. 8) and
+        # the direct batch-6 run tile the batch differently, reordering
+        # conv reductions; the perturbed test params put |theta| ~ 1e5
+        np.testing.assert_allclose(
+            np.asarray(body["theta"]),
+            np.asarray(direct["theta"][i], np.float64).reshape(3, 3),
+            rtol=1e-5, atol=1e-6)
+        assert abs(body["score"] - float(direct["consist_score"][i])) < 1e-4
+    # distinct inputs -> distinct thetas (no shard slice mixups)
+    assert len({json.dumps(r[1]["theta"]) for r in results}) == len(imgs)
+
+
+def test_multichip_batches_recorded(mc_server):
+    """The concurrent posts above actually ran through sharded buckets."""
+    stats = mc_server["batcher"].stats()
+    assert stats["requests"] >= 6
+    assert set(stats["batch_hist"]) <= {2, 4, 8}
+
+
+def test_uneven_bucket_rejected(tmp_path):
+    """--buckets not divisible by num_devices fails fast with the clear
+    divisibility message (not an opaque XLA sharding error)."""
+    from sports_field_homography_tpu.serve.server import create_server
+
+    cp = _write_ckpt(str(tmp_path / "ckpt"))
+    with pytest.raises(SystemExit, match="not divisible by num_devices"):
+        create_server([
+            "--load", cp, "--port", "0", "--num_devices", "2",
+            "--buckets", "1,3", "--req_outputs", "theta,consistency",
+            "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+        ])
