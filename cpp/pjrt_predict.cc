@@ -18,10 +18,16 @@
 // io_spec.txt) with weights, court constants, the interval warp table and
 // uint8 normalization baked in.  The io_spec must declare a uint8
 // [B,H,W,3] input; outputs named "theta" / "consist_score" / "poi" are
-// written to the JSON (others are computed but dropped — export with
-// ``keep`` to prune them at trace time instead).  Mask/pickle outputs are
-// the Python CLI's job; this runtime covers the production serving config
-// (theta + consistency score [+ poi]).
+// written to the JSON, and uint8 outputs named "segm_mask" / "warp_mask"
+// are written as per-frame PNGs under <dst>/court/{segm,warp}_mask/ with
+// the Python CLI's semantics (cli/predict.py _write_outputs; reference
+// predict.py:287-315): colorspace per --mask_type (gray = raw labels,
+// bin = (label>0)*255, rgb = the class palette), then an unconditional
+// nearest resize to --out_size.  Other outputs are computed but dropped
+// — export with ``keep`` to prune them at trace time instead.  The
+// pickle mask stream stays the Python CLI's job (a Python-specific
+// format); PNG covers the full-output production config (BASELINE
+// config #2: segm_mask + warp_mask + theta + poi + consistency).
 //
 // Preprocessing matches the repo's video path (cli/predict.py semantics,
 // data/dataset.py:281-285): cv2 INTER_AREA when downscaling else
@@ -38,6 +44,7 @@
 // For the axon TPU plugin pass the same --opt set as pjrt_serve.cc.
 #include <algorithm>
 #include <atomic>
+#include <cerrno>
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
@@ -114,6 +121,63 @@ std::string JsonScore(float v) {
   while (s.size() > 1 && s.back() == '0') s.pop_back();
   if (!s.empty() && s.back() == '.') s.push_back('0');
   return s;
+}
+
+// ---- mask postprocessing ---------------------------------------------------
+
+// id -> BGR class palettes (utils/postprocess.py CLASS_PALETTES, reference
+// utils/postprocess.py:30-51).  Returns false for unsupported class counts
+// (the Python CLI raises NotImplementedError the same way).
+bool PaletteFor(int n_classes, cv::Vec3b lut[256]) {
+  for (int i = 0; i < 256; ++i) lut[i] = cv::Vec3b(0, 0, 0);
+  if (n_classes != 4 && n_classes != 7 && n_classes != 8) return false;
+  lut[1] = cv::Vec3b(0, 255, 0);
+  lut[2] = cv::Vec3b(255, 0, 0);
+  lut[3] = cv::Vec3b(0, 0, 255);
+  if (n_classes >= 7) {
+    lut[4] = cv::Vec3b(255, 255, 255);
+    lut[5] = cv::Vec3b(255, 0, 255);
+    lut[6] = cv::Vec3b(0, 255, 255);
+  }
+  if (n_classes >= 8) lut[7] = cv::Vec3b(255, 255, 0);
+  return true;
+}
+
+// One label mask -> the saved image, with the Python CLI's exact order:
+// colorspace conversion FIRST, then the unconditional nearest resize to
+// out_size (cli/predict.py _write_outputs + _resize_masks).
+cv::Mat ConvertMask(const uint8_t* labels, int h, int w,
+                    const std::string& mask_type, const cv::Vec3b* lut,
+                    int out_w, int out_h) {
+  cv::Mat src(h, w, CV_8UC1, const_cast<uint8_t*>(labels));
+  cv::Mat img;
+  if (mask_type == "rgb") {
+    img.create(h, w, CV_8UC3);
+    for (int r = 0; r < h; ++r) {
+      const uint8_t* in = src.ptr<uint8_t>(r);
+      cv::Vec3b* out = img.ptr<cv::Vec3b>(r);
+      for (int c = 0; c < w; ++c) out[c] = lut[in[c]];
+    }
+  } else if (mask_type == "bin") {
+    cv::threshold(src, img, 0, 255, cv::THRESH_BINARY);
+  } else {  // gray: raw label values
+    img = src.clone();
+  }
+  if (img.cols != out_w || img.rows != out_h)
+    cv::resize(img, img, cv::Size(out_w, out_h), 0, 0, cv::INTER_NEAREST);
+  return img;
+}
+
+bool MkdirP(const std::string& path) {
+  std::string cur;
+  for (size_t i = 0; i <= path.size(); ++i) {
+    if (i == path.size() || path[i] == '/') {
+      if (!cur.empty() && mkdir(cur.c_str(), 0777) != 0 && errno != EEXIST)
+        return false;
+    }
+    if (i < path.size()) cur.push_back(path[i]);
+  }
+  return true;
 }
 
 // ---- pipeline plumbing -----------------------------------------------------
@@ -313,6 +377,30 @@ int SelfTest() {
     if (out[2] < 2 || out[2] > 3) return 7;
   }
 
+  // mask conversion: the Python CLI's bin/gray/rgb semantics + the
+  // unconditional nearest resize (cli/predict.py _write_outputs)
+  {
+    cv::Vec3b lut[256];
+    if (PaletteFor(3, lut)) return 20;          // unsupported class count
+    if (!PaletteFor(4, lut)) return 21;
+    uint8_t labels[6] = {0, 1, 2, 3, 0, 1};     // 2x3 label mask
+    cv::Mat gray = ConvertMask(labels, 2, 3, "gray", lut, 3, 2);
+    if (gray.type() != CV_8UC1 || gray.at<uint8_t>(0, 1) != 1) return 22;
+    cv::Mat bin = ConvertMask(labels, 2, 3, "bin", lut, 3, 2);
+    if (bin.at<uint8_t>(0, 0) != 0 || bin.at<uint8_t>(0, 1) != 255 ||
+        bin.at<uint8_t>(1, 1) != 0) return 23;
+    cv::Mat rgb = ConvertMask(labels, 2, 3, "rgb", lut, 3, 2);
+    if (rgb.type() != CV_8UC3) return 24;
+    if (rgb.at<cv::Vec3b>(0, 1) != cv::Vec3b(0, 255, 0)) return 25;   // BGR
+    if (rgb.at<cv::Vec3b>(0, 2) != cv::Vec3b(255, 0, 0)) return 26;
+    if (rgb.at<cv::Vec3b>(1, 0) != cv::Vec3b(0, 0, 255)) return 26;
+    if (rgb.at<cv::Vec3b>(0, 0) != cv::Vec3b(0, 0, 0)) return 27;
+    // 2x nearest upscale replicates labels exactly
+    cv::Mat up = ConvertMask(labels, 2, 3, "gray", lut, 6, 4);
+    if (up.cols != 6 || up.rows != 4 || up.at<uint8_t>(0, 2) != 1 ||
+        up.at<uint8_t>(0, 3) != 1) return 28;
+  }
+
   // queue: FIFO order + close-drains
   {
     BoundedQueue<int> q(2);
@@ -352,6 +440,9 @@ int main(int argc, char** argv) {
   }
   std::string artifact, img_dir, video, dst_dir, model_name;
   std::string plugin = "/opt/axon/libaxon_pjrt.so";
+  std::string mask_type = "gray";     // Python CLI default (utils/config.py)
+  int out_w = 1280, out_h = 720;      // --out_size default, like the CLI
+  int mask_classes = 4;
   std::vector<std::pair<std::string, std::string>> raw_opts;
   int threads = 4, queue_depth = 3;
   int64_t limit = 0;
@@ -374,6 +465,18 @@ int main(int argc, char** argv) {
     else if (a == "--threads") threads = atoi(val("--threads"));
     else if (a == "--queue") queue_depth = atoi(val("--queue"));
     else if (a == "--limit") limit = atoll(val("--limit"));
+    else if (a == "--mask_type") mask_type = val("--mask_type");
+    else if (a == "--mask_classes") mask_classes = atoi(val("--mask_classes"));
+    else if (a == "--out_size") {
+      std::string wh = val("--out_size");
+      size_t x = wh.find_first_of("x,");
+      if (x == std::string::npos || sscanf(wh.c_str(), "%d", &out_w) != 1 ||
+          sscanf(wh.c_str() + x + 1, "%d", &out_h) != 1 ||
+          out_w <= 0 || out_h <= 0) {
+        fprintf(stderr, "pjrt_predict: --out_size expects WxH\n");
+        return 2;
+      }
+    }
     else if (a == "--time") time_exec = true;
     else if (a == "--opt") {
       std::string kv = val("--opt");
@@ -392,7 +495,9 @@ int main(int argc, char** argv) {
     fprintf(stderr,
             "usage: pjrt_predict <artifact_dir> (--img_dir D | --video F) "
             "--dst_dir O [--plugin so] [--opt k=v ...] [--threads N] "
-            "[--queue N] [--limit N] [--model NAME] [--time]\n");
+            "[--queue N] [--limit N] [--model NAME] [--time] "
+            "[--mask_type bin|gray|rgb] [--out_size WxH] [--mask_classes N]"
+            "\n");
     return 2;
   }
   artifact = pos[0];
@@ -421,15 +526,19 @@ int main(int argc, char** argv) {
   const int B = (int)input.dims[0], H = (int)input.dims[1],
             W = (int)input.dims[2];
   int theta_idx = -1, score_idx = -1, poi_idx = -1;
+  int segm_idx = -1, warp_idx = -1;
   for (size_t i = 0; i < outputs.size(); ++i) {
     if (outputs[i].name == "theta") theta_idx = (int)i;
     else if (outputs[i].name == "consist_score") score_idx = (int)i;
     else if (outputs[i].name == "poi") poi_idx = (int)i;
+    else if (outputs[i].name == "segm_mask") segm_idx = (int)i;
+    else if (outputs[i].name == "warp_mask") warp_idx = (int)i;
   }
-  if (theta_idx < 0 && score_idx < 0 && poi_idx < 0) {
+  if (theta_idx < 0 && score_idx < 0 && poi_idx < 0 && segm_idx < 0 &&
+      warp_idx < 0) {
     fprintf(stderr,
-            "pjrt_predict: artifact has none of theta/consist_score/poi "
-            "outputs — nothing to write\n");
+            "pjrt_predict: artifact has none of theta/consist_score/poi/"
+            "segm_mask/warp_mask outputs — nothing to write\n");
     return 1;
   }
   for (int idx : {theta_idx, score_idx, poi_idx})
@@ -438,6 +547,27 @@ int main(int argc, char** argv) {
               outputs[idx].name.c_str(), outputs[idx].dtype.c_str());
       return 1;
     }
+  for (int idx : {segm_idx, warp_idx})
+    if (idx >= 0 && (outputs[idx].dtype != "uint8" ||
+                     outputs[idx].dims.size() != 3)) {
+      fprintf(stderr,
+              "pjrt_predict: output %s must be uint8 [B,h,w] (the exported "
+              "device-side label masks), got %s rank %zu\n",
+              outputs[idx].name.c_str(), outputs[idx].dtype.c_str(),
+              outputs[idx].dims.size());
+      return 1;
+    }
+  cv::Vec3b palette[256];
+  if ((segm_idx >= 0 || warp_idx >= 0) && mask_type == "rgb" &&
+      !PaletteFor(mask_classes, palette)) {
+    fprintf(stderr, "pjrt_predict: no rgb palette for %d classes "
+                    "(supported: 4/7/8)\n", mask_classes);
+    return 1;
+  }
+  if (mask_type != "gray" && mask_type != "bin" && mask_type != "rgb") {
+    fprintf(stderr, "pjrt_predict: --mask_type must be bin|gray|rgb\n");
+    return 1;
+  }
 
   // ---- frame source --------------------------------------------------------
   std::string game_name;
@@ -518,6 +648,18 @@ int main(int argc, char** argv) {
     return 1;
   }
 
+  // mask output dirs (Python save_mask_as_png postfixes, cli/predict.py)
+  std::string segm_dir = dst_dir + "/court/segm_mask";
+  std::string warp_dir = dst_dir + "/court/warp_mask";
+  if ((segm_idx >= 0 && !MkdirP(segm_dir)) ||
+      (warp_idx >= 0 && !MkdirP(warp_dir))) {
+    fprintf(stderr, "pjrt_predict: cannot create mask dirs under %s\n",
+            dst_dir.c_str());
+    batches.close();
+    producer.join();
+    return 1;
+  }
+
   std::atomic<int64_t> frames_done{0};
   double wait_ms = 0.0;  // writer time blocked on the device
   std::vector<std::pair<std::string, std::string>> entries;  // name -> json
@@ -525,6 +667,7 @@ int main(int argc, char** argv) {
   std::thread writer([&] {
     Result r;
     std::vector<char> theta_host, score_host, poi_host;
+    std::vector<char> segm_host, warp_host;
     while (results.pop(&r)) {
       auto w0 = std::chrono::steady_clock::now();
       bool ok = AwaitEvent(r.done, "execution");
@@ -536,6 +679,10 @@ int main(int argc, char** argv) {
         ok = sfh::FetchBuffer(r.outputs[score_idx], &score_host);
       if (ok && poi_idx >= 0)
         ok = sfh::FetchBuffer(r.outputs[poi_idx], &poi_host);
+      if (ok && segm_idx >= 0)
+        ok = sfh::FetchBuffer(r.outputs[segm_idx], &segm_host);
+      if (ok && warp_idx >= 0)
+        ok = sfh::FetchBuffer(r.outputs[warp_idx], &warp_host);
       for (PJRT_Buffer* b : r.outputs)
         sfh::DestroyBuffer(b, "Buffer_Destroy(output)");
       sfh::DestroyBuffer(r.input, "Buffer_Destroy(input)");
@@ -554,7 +701,28 @@ int main(int argc, char** argv) {
           ? sfh::NumElements(outputs[theta_idx].dims) / B : 0;
       int64_t poi_per = poi_idx >= 0
           ? sfh::NumElements(outputs[poi_idx].dims) / B : 0;
-      for (int s = 0; s < r.n_valid; ++s) {
+      for (int s = 0; s < r.n_valid && !g_failed.load(); ++s) {
+        // mask PNGs (reference predict.py:287-315 semantics; see header)
+        for (auto& m : {std::make_tuple(segm_idx, &segm_host, &segm_dir),
+                        std::make_tuple(warp_idx, &warp_host, &warp_dir)}) {
+          int idx = std::get<0>(m);
+          if (idx < 0) continue;
+          int mh = (int)outputs[idx].dims[1], mw = (int)outputs[idx].dims[2];
+          const uint8_t* labels = reinterpret_cast<const uint8_t*>(
+              std::get<1>(m)->data()) + (size_t)s * mh * mw;
+          cv::Mat img = ConvertMask(labels, mh, mw, mask_type, palette,
+                                    out_w, out_h);
+          std::string path = *std::get<2>(m) + "/" + r.names[s] + ".png";
+          if (!cv::imwrite(path, img)) {
+            Fail(("cannot write " + path).c_str());
+            results.close();
+            break;
+          }
+        }
+        if (g_failed.load()) break;
+        // mask-only artifact: no JSON record for the frame (the Python CLI
+        // appends json_records only when theta/score/poi are requested)
+        if (theta == nullptr && score == nullptr && poi == nullptr) continue;
         std::ostringstream e;
         e << "{";
         bool first = true;

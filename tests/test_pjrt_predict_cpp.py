@@ -171,6 +171,70 @@ def test_cpp_predict_img_dir(tmp_path):
 
 
 @requires_plugin
+def test_cpp_predict_masks(tmp_path):
+    """Full-output config: segm_mask/warp_mask PNGs written with the Python
+    CLI's semantics (gray labels, nearest resize to --out_size), values
+    equal to a CPU-artifact reference on the same pixels."""
+    import cv2
+
+    binary = _ensure_binary()
+    bundle = build_model(_Args, warp_with_nearest=True)
+    keep = ("consist_score", "theta", "segm_mask", "warp_mask")
+    for platform in ("tpu", "cpu"):
+        exported, meta = export_predict(
+            bundle, consistency=True, project_poi=False, keep=keep,
+            batch_size=2, platforms=(platform,))
+        save_serving(str(tmp_path / platform), exported, meta)
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 255, (3, H, W, 3), np.uint8)
+    game_dir = tmp_path / "mask_game"
+    game_dir.mkdir()
+    for i, f in enumerate(frames):
+        assert cv2.imwrite(str(game_dir / f"frame_{i:03d}.png"), f[..., ::-1])
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+
+    r = subprocess.run(
+        [binary, str(tmp_path / "tpu"), "--img_dir", str(game_dir),
+         "--dst_dir", str(out_dir), "--mask_type", "gray",
+         "--out_size", f"{2 * W}x{2 * H}"] + _tpu_opts(),
+        env=_tpu_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # CPU reference masks on the same pixels + the same nearest upscale
+    fn, _ = load_serving(str(tmp_path / "cpu"))
+    padded = np.concatenate([frames, frames[:1]], axis=0)
+    ref = {k: [] for k in ("segm_mask", "warp_mask")}
+    for b in range(2):
+        out = jax.device_get(fn(padded[2 * b:2 * b + 2]))
+        for k in ref:
+            ref[k].append(np.asarray(out[k], np.uint8))
+    for k in ref:
+        ref[k] = np.concatenate(ref[k])[:3]
+
+    for sub in ("segm_mask", "warp_mask"):
+        for i in range(3):
+            path = out_dir / "court" / sub / f"frame_{i:03d}.png"
+            assert path.exists(), f"missing {path}"
+            got = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+            want = cv2.resize(ref[sub][i], (2 * W, 2 * H),
+                              interpolation=cv2.INTER_NEAREST)
+            assert got.shape == want.shape
+            # TPU-vs-CPU float differences can flip argmax/boundary pixels
+            # (same tolerance class as the torch parity suite's <0.1%
+            # label-mismatch bound)
+            mismatch = np.mean(got != want)
+            assert mismatch < 0.01, f"{sub} {i}: {mismatch:.4f} mismatched"
+
+    # theta/score JSON still written alongside the masks
+    with open(out_dir / "mask_game_court.json") as f:
+        court = json.load(f)
+    court.pop("model")
+    assert sorted(court) == [f"frame_{i:03d}" for i in range(3)]
+
+
+@requires_plugin
 def test_cpp_predict_video(tmp_path):
     import cv2
 
