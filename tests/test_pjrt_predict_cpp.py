@@ -169,6 +169,33 @@ def test_cpp_predict_img_dir(tmp_path):
         np.testing.assert_allclose(theta, ref_theta[i], rtol=0, atol=1e-3)
         assert abs(entry["score"] - float(ref_score[i])) < 1e-3
 
+    # --resume: rebuild an interrupted run's part JSONL from three of the
+    # five records plus a torn tail line; the rerun must skip those three,
+    # re-predict the rest, and merge all five (keep-last, ledger records
+    # byte-preserved)
+    jsonl = out_dir / "tiny_game_court_processing.json"
+    with open(jsonl, "w") as f:
+        for i in (0, 1, 3):
+            rec = {k: court[f"frame_{i:03d}"][k] for k in ("score", "theta")}
+            f.write(json.dumps({f"frame_{i:03d}": rec}) + "\n")
+        f.write('{"frame_004": {"score": 0.')  # torn by the "crash"
+    r = subprocess.run(
+        [binary, str(tmp_path / "tpu"), "--img_dir", str(game_dir),
+         "--dst_dir", str(out_dir), "--model", "unittest", "--resume"]
+        + _tpu_opts(),
+        env=_tpu_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "--resume: 3 frames already" in r.stderr
+    with open(out_dir / "tiny_game_court.json") as f:
+        resumed = json.load(f)
+    assert resumed.pop("model") == "unittest"
+    assert sorted(resumed) == sorted(court)
+    for name, entry in court.items():
+        np.testing.assert_allclose(
+            np.asarray(resumed[name]["theta"], np.float32),
+            np.asarray(entry["theta"], np.float32), rtol=0, atol=1e-3)
+        assert abs(resumed[name]["score"] - entry["score"]) < 1e-3
+
 
 @requires_plugin
 def test_cpp_predict_masks(tmp_path):
@@ -198,7 +225,7 @@ def test_cpp_predict_masks(tmp_path):
     r = subprocess.run(
         [binary, str(tmp_path / "tpu"), "--img_dir", str(game_dir),
          "--dst_dir", str(out_dir), "--mask_type", "gray",
-         "--out_size", f"{2 * W}x{2 * H}"] + _tpu_opts(),
+         "--out_size", f"{2 * W}x{2 * H}", "--debug"] + _tpu_opts(),
         env=_tpu_env(), capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
 
@@ -227,11 +254,48 @@ def test_cpp_predict_masks(tmp_path):
             mismatch = np.mean(got != want)
             assert mismatch < 0.01, f"{sub} {i}: {mismatch:.4f} mismatched"
 
+    # debug renders: one jpeg per frame at the ORIGINAL frame size, with
+    # blended (mask-overlay) pixels somewhere — cli/predict._write_debug
+    # semantics (overlay of the palette-colored warp mask + score text)
+    for i in range(3):
+        path = out_dir / "court" / "debug" / f"frame_{i:03d}.jpeg"
+        assert path.exists(), f"missing {path}"
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        assert img.shape == (H, W, 3)
+        assert np.any(img != cv2.imread(str(game_dir / f"frame_{i:03d}.png")))
+
     # theta/score JSON still written alongside the masks
     with open(out_dir / "mask_game_court.json") as f:
         court = json.load(f)
     court.pop("model")
     assert sorted(court) == [f"frame_{i:03d}" for i in range(3)]
+
+    # --mask_save_format pickle: the same masks as a Python-compatible
+    # pickled PNG-buffer stream (the Python CLI's default sink), readable
+    # by viz_preds' MaskReader and equal to the PNG run's pixels
+    from sports_field_homography_tpu.cli.viz_preds import MaskReader
+
+    pkl_dir = tmp_path / "out_pkl"
+    pkl_dir.mkdir()
+    r = subprocess.run(
+        [binary, str(tmp_path / "tpu"), "--img_dir", str(game_dir),
+         "--dst_dir", str(pkl_dir), "--mask_type", "gray",
+         "--out_size", f"{2 * W}x{2 * H}", "--mask_save_format", "pickle"]
+        + _tpu_opts(),
+        env=_tpu_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    for sub in ("segm_mask", "warp_mask"):
+        stream = pkl_dir / "court" / sub / "data.pkl"
+        assert stream.exists(), f"missing {stream}"
+        assert not (pkl_dir / "court" / sub / "frame_000.png").exists()
+        reader = MaskReader(path=str(stream))
+        entries = dict(reader.get(decode=True))
+        assert sorted(entries) == [f"frame_{i:03d}" for i in range(3)]
+        for i in range(3):
+            png = cv2.imread(str(out_dir / "court" / sub /
+                                 f"frame_{i:03d}.png"),
+                             cv2.IMREAD_GRAYSCALE)
+            np.testing.assert_array_equal(entries[f"frame_{i:03d}"], png)
 
 
 @requires_plugin
