@@ -11,6 +11,12 @@ Usage:
   python scripts/export_serving.py --load ckpt/CP_epoch30.msgpack \
       --req_outputs theta,consistency --batchsize 32 \
       [--platforms tpu,cpu] [--dst ckpt/serving]
+
+``--buckets 1,8,32`` exports one fixed-batch artifact per size under
+``<dst>/b{N}`` (the checkpoint loads once) — the bucket set
+``cpp/pjrt_http_serve`` consumes for latency/throughput-adaptive
+dynamic batching.  ``--poly_batch`` is the one-artifact alternative for
+runtimes that specialize symbolic shapes themselves.
 """
 import os
 import sys
@@ -37,7 +43,15 @@ def main(argv=None):
                     help="export with a symbolic batch dimension: one "
                          "artifact serves any batch size (--batchsize "
                          "becomes the recommended size recorded in meta)")
+    ap.add_argument("--buckets", default=None,
+                    help="comma list of batch sizes, e.g. 1,8,32: export "
+                         "one fixed-batch artifact per size under "
+                         "<dst>/b{N} — the bucket set cpp/pjrt_http_serve "
+                         "and serve.py --serving_artifact consume for "
+                         "latency/throughput-adaptive batching")
     own, rest = ap.parse_known_args(argv)
+    if own.buckets and own.poly_batch:
+        ap.error("--buckets and --poly_batch are mutually exclusive")
 
     args = get_prediction_args(rest)
     if os.environ.get("SFH_JAX_PLATFORM"):
@@ -85,10 +99,6 @@ def main(argv=None):
     bundle = build_model(args, load=args.load, warp_with_nearest=True,
                          fold_bn=bool(getattr(args, "fold_bn", 1)))
     platforms = own.platforms.split(",") if own.platforms else None
-    exported, meta = export_predict(
-        bundle, consistency=consistency, project_poi=project_poi,
-        keep=tuple(sorted(keep)), batch_size=args.batchsize,
-        platforms=platforms, poly_batch=own.poly_batch)
 
     dst = own.dst
     if dst is None:
@@ -97,6 +107,39 @@ def main(argv=None):
             if base.endswith(suffix):
                 base = base[: -len(suffix)]
         dst = base + "_serving"
+
+    if own.buckets:
+        import dataclasses
+
+        import numpy as np
+
+        batches = sorted({int(b) for b in own.buckets.split(",")})
+        if batches[0] < 1:
+            ap.error("--buckets entries must be >= 1")
+        # batch-1 court constants broadcast against any live batch
+        # (models/reconstructor._match_batch), so ONE bundle serves every
+        # bucket — the checkpoint loads once, only the export loop repeats
+        bundle = dataclasses.replace(
+            bundle, court_img=np.asarray(bundle.court_img)[:1],
+            court_poi=np.asarray(bundle.court_poi)[:1])
+        for b in batches:
+            exported, meta = export_predict(
+                bundle, consistency=consistency, project_poi=project_poi,
+                keep=tuple(sorted(keep)), batch_size=b,
+                platforms=platforms)
+            sub = os.path.join(dst, "b{}".format(b))
+            save_serving(sub, exported, meta)
+            size = os.path.getsize(os.path.join(sub, "program.shlo"))
+            print("exported serving artifact -> {} (batch {}, {} outputs, "
+                  "{:.1f} MB, platforms={})".format(
+                      sub, b, len(meta["outputs"]), size / 1e6,
+                      meta["platforms"]))
+        return
+
+    exported, meta = export_predict(
+        bundle, consistency=consistency, project_poi=project_poi,
+        keep=tuple(sorted(keep)), batch_size=args.batchsize,
+        platforms=platforms, poly_batch=own.poly_batch)
     save_serving(dst, exported, meta)
     size = os.path.getsize(os.path.join(dst, "program.shlo"))
     print("exported serving artifact -> {} ({} outputs, {:.1f} MB, "

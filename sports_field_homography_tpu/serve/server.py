@@ -167,8 +167,43 @@ def _build_from_checkpoint(args):
 def _build_from_artifact(path: str):
     """Serve a StableHLO artifact (weights baked in, no model code).
     Fixed-batch artifacts pin the batcher to one bucket; ``poly_batch``
-    artifacts specialize per bucket like the live model."""
+    artifacts specialize per bucket like the live model.  A directory of
+    ``b{N}`` sub-artifacts (``scripts/export_serving.py --buckets``, the
+    same layout cpp/pjrt_http_serve consumes) serves every exported
+    batch size as a bucket."""
+    import glob as _glob
+    import re as _re
+
     from ..compat.serving import load_serving
+
+    subs = sorted(d for d in _glob.glob(os.path.join(path, "b*"))
+                  if _re.fullmatch(r"b\d+", os.path.basename(d))
+                  and os.path.exists(os.path.join(d, "meta.json")))
+    if subs:
+        fns, shapes = {}, set()
+        dtype = None
+        for d in subs:
+            fn, meta = load_serving(d)
+            spec = meta["input"]
+            b, h, w, _ = spec["shape"]
+            fns[int(b)] = fn
+            shapes.add((int(h), int(w)))
+            dtype = {"uint8": np.uint8, "float32": np.float32}[spec["dtype"]]
+        if len(shapes) != 1:
+            raise ValueError(
+                f"bucket artifacts under {path} disagree on the frame "
+                f"size: {sorted(shapes)}")
+        (h, w), = shapes
+
+        def run_batch(frames: np.ndarray):
+            fn = fns.get(frames.shape[0])
+            if fn is None:
+                raise ValueError(
+                    f"no bucket artifact for batch {frames.shape[0]} "
+                    f"(have {sorted(fns)})")
+            return fn(frames.astype(dtype))
+
+        return run_batch, (h, w, 3), dtype, sorted(fns)
 
     fn, meta = load_serving(path)
     spec = meta["input"]
@@ -306,8 +341,12 @@ def create_server(argv=None):
                     "a checkpoint for mesh-sharded buckets)")
     if forced is not None:
         buckets = forced
-        logger.info(f"fixed-batch artifact: serving bucket {forced[0]} only "
-                    "(export with --poly_batch for size-adaptive buckets)")
+        if len(forced) == 1:
+            logger.info(f"fixed-batch artifact: serving bucket {forced[0]} "
+                        "only (export with --buckets or --poly_batch for "
+                        "size-adaptive buckets)")
+        else:
+            logger.info(f"bucket artifacts: serving buckets {forced}")
     elif args.buckets:
         buckets = sorted(int(b) for b in args.buckets.split(","))
         for b in buckets:

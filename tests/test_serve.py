@@ -278,3 +278,41 @@ def test_serve_artifact_fixed_batch(tmp_path):
     finally:
         httpd.shutdown()
         batcher.close()
+
+
+def test_serve_artifact_bucket_dir(tmp_path):
+    """A directory of b{N} sub-artifacts (export_serving --buckets, the
+    cpp/pjrt_http_serve layout) serves every exported batch as a bucket,
+    each request answered by the matching fixed-batch program."""
+    import dataclasses
+
+    from sports_field_homography_tpu.cli.engine import build_model
+    from sports_field_homography_tpu.compat.serving import (export_predict,
+                                                            save_serving)
+
+    bundle = build_model(_Args, warp_with_nearest=True)
+    bundle = dataclasses.replace(
+        bundle, court_img=np.asarray(bundle.court_img)[:1],
+        court_poi=np.asarray(bundle.court_poi)[:1])
+    art = str(tmp_path / "buckets")
+    for b in (1, 2):
+        exported, meta = export_predict(
+            bundle, consistency=True, project_poi=False,
+            keep=("theta", "consist_score"), batch_size=b,
+            input_dtype="uint8")
+        save_serving(os.path.join(art, f"b{b}"), exported, meta)
+
+    httpd, batcher, port = _start([
+        "--serving_artifact", art, "--port", "0", "--max_delay_ms", "5"])
+    try:
+        assert batcher.buckets == (1, 2)
+        rng = np.random.RandomState(13)
+        status, body = _post_image(port,
+                                   rng.randint(0, 255, (H, W, 3), np.uint8))
+        assert status == 200, body
+        assert np.isfinite(np.asarray(body["theta"])).all()
+        stats = batcher.stats()
+        assert stats["batch_hist"].get(1, 0) >= 1  # bucket-1 program used
+    finally:
+        httpd.shutdown()
+        batcher.close()

@@ -191,3 +191,30 @@ def test_export_cli(tmp_path):
     out = jax.device_get(fn(np.random.RandomState(5).randint(
         0, 255, (3, H, W, 3), np.uint8)))
     assert out["theta"].shape == (3, 1, 3, 3)
+
+    # --buckets: one fixed-batch artifact per size under <dst>/b{N}
+    # (the pjrt_http_serve bucket set); checkpoint loads once, batch-1
+    # court constants broadcast, so every bucket is bit-equal to the
+    # plain fixed-batch export
+    mod.main(["--load", str(cp_dir / "CP_epoch1.msgpack"),
+              "--req_outputs", "theta,consistency",
+              "--batchsize", "2", "--out_size", str(W), str(H),
+              "--court_img", COURT_IMG, "--court_poi", COURT_POI,
+              "--compute_dtype", "float32",
+              "--buckets", "2,1", "--dst", str(tmp_path / "buckets")])
+    for b in (1, 2):
+        sub = tmp_path / "buckets" / f"b{b}"
+        meta = json.load(open(sub / "meta.json"))
+        assert meta["input"]["shape"] == [b, H, W, 3]
+        for f in ("module.mlir.bc", "compile_options.pb", "io_spec.txt"):
+            assert (sub / f).exists(), f
+    fn2, _ = load_serving(str(tmp_path / "buckets" / "b2"))
+    x = np.random.RandomState(3).randint(0, 255, (2, H, W, 3), np.uint8)
+    out2 = jax.device_get(fn2(x))
+    ref = jax.device_get(load_serving(str(art))[0](x))
+    np.testing.assert_array_equal(np.asarray(out2["theta"]),
+                                  np.asarray(ref["theta"]))
+    fn1, _ = load_serving(str(tmp_path / "buckets" / "b1"))
+    out1 = jax.device_get(fn1(x[:1]))
+    np.testing.assert_array_equal(np.asarray(out1["theta"]),
+                                  np.asarray(ref["theta"])[:1])
