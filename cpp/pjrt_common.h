@@ -299,12 +299,34 @@ inline PJRT_Buffer* UploadBuffer(PJRT_Client* client, PJRT_Device* device,
 }
 
 // Synchronous device->host fetch into ``out`` (resized to the buffer's
-// on-host size).
+// on-host size).  An explicit dense ROW-MAJOR host layout is requested:
+// with a null host_layout PJRT copies in the buffer's DEVICE layout, and
+// the TPU compiler is free to permute output dims (observed on the poi
+// [B,N,2] output, which XLA transposes to put N on the lane dimension) —
+// the bytes would arrive permuted with no indication.
 inline bool FetchBuffer(PJRT_Buffer* buf, std::vector<char>* out) {
+  PJRT_Buffer_Dimensions_Args dims;
+  memset(&dims, 0, sizeof dims);
+  dims.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+  dims.buffer = buf;
+  if (!CheckError(Api()->PJRT_Buffer_Dimensions(&dims), "Buffer_Dimensions"))
+    return false;
+  std::vector<int64_t> minor_to_major(dims.num_dims);
+  for (size_t i = 0; i < dims.num_dims; ++i)
+    minor_to_major[i] = (int64_t)(dims.num_dims - 1 - i);
+  PJRT_Buffer_MemoryLayout layout;
+  memset(&layout, 0, sizeof layout);
+  layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+  layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+  layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+  layout.tiled.minor_to_major = minor_to_major.data();
+  layout.tiled.minor_to_major_size = minor_to_major.size();
+
   PJRT_Buffer_ToHostBuffer_Args th;
   memset(&th, 0, sizeof th);
   th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
   th.src = buf;
+  th.host_layout = &layout;
   if (!CheckError(Api()->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer size"))
     return false;
   out->resize(th.dst_size);

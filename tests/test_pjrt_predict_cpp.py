@@ -82,14 +82,17 @@ def _ensure_binary():
 
 
 def _export_artifacts(tmp_path):
+    # poi rides along: its [B,N,2] output is the one XLA:TPU lays out
+    # transposed on device, the regression FetchBuffer's explicit host
+    # layout guards against (cpp/pjrt_common.h)
     bundle = build_model(_Args, warp_with_nearest=True)
-    keep = ("consist_score", "theta")
+    keep = ("consist_score", "theta", "poi")
     exported_tpu, meta_tpu = export_predict(
-        bundle, consistency=True, project_poi=False, keep=keep,
+        bundle, consistency=True, project_poi=True, keep=keep,
         batch_size=2, platforms=("tpu",))
     save_serving(str(tmp_path / "tpu"), exported_tpu, meta_tpu)
     exported_cpu, meta_cpu = export_predict(
-        bundle, consistency=True, project_poi=False, keep=keep,
+        bundle, consistency=True, project_poi=True, keep=keep,
         batch_size=2, platforms=("cpu",))
     save_serving(str(tmp_path / "cpu"), exported_cpu, meta_cpu)
     return bundle
@@ -153,14 +156,16 @@ def test_cpp_predict_img_dir(tmp_path):
 
     # CPU reference on the same pixels
     fn, _ = load_serving(str(tmp_path / "cpu"))
-    ref_theta, ref_score = [], []
+    ref_theta, ref_score, ref_poi = [], [], []
     padded = np.concatenate([frames, frames[:1]], axis=0)  # 5 -> 3 batches
     for b in range(3):
         out = jax.device_get(fn(padded[2 * b:2 * b + 2]))
         ref_theta.append(np.asarray(out["theta"]))
         ref_score.append(np.asarray(out["consist_score"]))
+        ref_poi.append(np.asarray(out["poi"]))
     ref_theta = np.concatenate(ref_theta)[:5]
     ref_score = np.concatenate(ref_score)[:5]
+    ref_poi = np.concatenate(ref_poi)[:5]
 
     for i in range(5):
         entry = court[f"frame_{i:03d}"]
@@ -168,6 +173,9 @@ def test_cpp_predict_img_dir(tmp_path):
         assert theta.shape == (1, 3, 3)
         np.testing.assert_allclose(theta, ref_theta[i], rtol=0, atol=1e-3)
         assert abs(entry["score"] - float(ref_score[i])) < 1e-3
+        poi = np.asarray(entry["poi"], np.float32)
+        assert poi.shape == ref_poi[i].shape
+        np.testing.assert_allclose(poi, ref_poi[i], rtol=0, atol=2e-3)
 
     # --resume: rebuild an interrupted run's part JSONL from three of the
     # five records plus a torn tail line; the rerun must skip those three,

@@ -56,9 +56,11 @@ class _Args:
 
 def test_cpp_runtime_serves_tpu_artifact(tmp_path):
     binary = os.path.join(REPO, "cpp", "pjrt_serve")
-    source = os.path.join(REPO, "cpp", "pjrt_serve.cc")
+    sources = [os.path.join(REPO, "cpp", f)
+               for f in ("pjrt_serve.cc", "pjrt_common.h")]
     if (not os.path.exists(binary)
-            or os.path.getmtime(binary) < os.path.getmtime(source)):
+            or any(os.path.getmtime(binary) < os.path.getmtime(s)
+                   for s in sources)):
         subprocess.run(["bash", os.path.join(REPO, "cpp",
                                              "build_pjrt_serve.sh")],
                        check=True, capture_output=True, text=True)
