@@ -43,26 +43,37 @@ def main():
     ap.add_argument("--max_delay_ms", type=float, default=8.0)
     ap.add_argument("--req_outputs", default="theta,consistency")
     ap.add_argument("--resnet", default="resnet34")
+    ap.add_argument("--url", default=None,
+                    help="fire at an ALREADY-RUNNING server instead of "
+                         "standing one up (e.g. http://127.0.0.1:8800 for "
+                         "cpp/pjrt_http_serve — same endpoints, same stats "
+                         "schema); --max_batch/--resnet etc. are ignored")
     args = ap.parse_args()
 
     import cv2
 
-    from sports_field_homography_tpu.serve.server import create_server
+    httpd = batcher = None
+    if args.url:
+        base = args.url.rstrip("/")
+        url = base + "/predict"
+    else:
+        from sports_field_homography_tpu.serve.server import create_server
 
-    argv = [
-        "--port", "0",
-        "--req_outputs", args.req_outputs,
-        "--max_batch", str(args.max_batch),
-        "--max_delay_ms", str(args.max_delay_ms),
-        "--resnet_name", args.resnet,
-        "--court_img", "assets/mask_ncaa_v4_nc4_m_onehot.png",
-        "--court_poi", "assets/template_ncaa_v4_points.json",
-    ]
-    httpd, batcher = create_server(argv)
-    port = httpd.server_address[1]
-    server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
-    server_thread.start()
-    url = f"http://127.0.0.1:{port}/predict"
+        argv = [
+            "--port", "0",
+            "--req_outputs", args.req_outputs,
+            "--max_batch", str(args.max_batch),
+            "--max_delay_ms", str(args.max_delay_ms),
+            "--resnet_name", args.resnet,
+            "--court_img", "assets/mask_ncaa_v4_nc4_m_onehot.png",
+            "--court_poi", "assets/template_ncaa_v4_points.json",
+        ]
+        httpd, batcher = create_server(argv)
+        port = httpd.server_address[1]
+        server_thread = threading.Thread(target=httpd.serve_forever,
+                                         daemon=True)
+        server_thread.start()
+        url = f"http://127.0.0.1:{port}/predict"
 
     # one realistic 1280x720 JPEG body, re-posted by every client (the
     # server resizes to the model's 640x360 per request, like production)
@@ -114,10 +125,14 @@ def main():
         t.join(timeout=130)
     elapsed = time.perf_counter() - t_start
 
-    stats = batcher.stats()
-    httpd.shutdown()
-    httpd.server_close()
-    batcher.close()
+    if batcher is not None:
+        stats = batcher.stats()
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+    else:  # external server: same stats schema over HTTP
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
 
     lat.sort()
     q = lambda f: (round(lat[min(len(lat) - 1, int(f * len(lat)))] * 1e3, 1)
@@ -135,6 +150,9 @@ def main():
         "req_outputs": args.req_outputs,
         "max_batch": args.max_batch,
     }
+    if args.url:
+        out["url"] = args.url
+        del out["req_outputs"], out["max_batch"]  # the server's, not ours
     print(json.dumps(out))
 
 
