@@ -27,7 +27,7 @@ __all__ = ["main", "prepare_dataloader"]
 def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
                        mask_classes, use_uv, batch_size, target_size, aug,
                        only_ncaam, shard=None, uint8_inputs=None,
-                       data_seed=0):
+                       data_seed=0, tail="pad"):
     """Train/val loaders (reference ``train.py:25-40``).
 
     ``shard``: (host_index, host_count) for multi-host training — each
@@ -39,14 +39,20 @@ def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
     less H2D traffic).  Default (None): on exactly when it is lossless —
     no augmentation (u8/255 on device is bit-identical to the host /255
     float path); with augmentation it quantizes the augmented float image
-    back to 8 bits, so it is opt-in (pass 1 to force)."""
+    back to 8 bits, so it is opt-in (pass 1 to force).
+
+    ``tail``: 'exact' yields the true smaller tail train batch (reference
+    DataLoader semantics, ``train.py:33-36`` — correct losses AND correct
+    train-mode BN statistics; one extra XLA program for the tail shape);
+    'pad' keeps the static padded batch (the losses mask the replicas —
+    train/loop.make_loss_fn — but BN batch stats still include them)."""
     train_ids, val_ids = split_on_train_val(img_dir, val_names,
                                             only_ncaam=only_ncaam)
     train_u8 = bool(uint8_inputs) if uint8_inputs is not None else aug is None
     val_u8 = bool(uint8_inputs) if uint8_inputs is not None else True
     train = BasicDataset(train_ids, img_dir, mask_dir, anno_dir, anno_keys,
                          mask_classes, use_uv, target_size, aug=aug,
-                         raw_uint8=train_u8)
+                         raw_uint8=train_u8, aug_seed=data_seed)
     val = BasicDataset(val_ids, img_dir, mask_dir, anno_dir, anno_keys,
                        mask_classes, use_uv, target_size, raw_uint8=val_u8)
     # seeded by default: per-epoch orders derive from (seed, epoch) —
@@ -56,7 +62,7 @@ def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
     assert not (shard and data_seed is None), \
         "sharded training requires a data seed"
     train_loader = Loader(train, batch_size, shuffle=True, num_workers=8,
-                          drop_last=False, pad_last=True,
+                          drop_last=False, pad_last=(tail != "exact"),
                           seed=data_seed, shard=shard)
     # keep the ragged tail: eval means over the `valid` mask, so padded
     # tail batches score exactly like the reference's variable-size tail
@@ -152,6 +158,20 @@ def main(argv=None):
     if isinstance(val_names, str):
         val_names = [v.strip() for v in val_names.split(",")]
 
+    grad_accum = int(getattr(args, "grad_accum", 1) or 1)
+
+    # tail default: true ragged tail batch on a single device (reference
+    # semantics exactly); padded+loss-masked whenever uniform shapes are
+    # structurally required (sharding / grad accumulation)
+    needs_pad = (multihost or grad_accum > 1
+                 or (args.num_devices is not None and args.num_devices > 1))
+    tail = getattr(args, "tail", None) or ("pad" if needs_pad else "exact")
+    if tail == "exact" and needs_pad:
+        logger.info("NOTE: --tail exact is incompatible with sharded/"
+                    "accumulated training (uniform shapes required); "
+                    "using 'pad' (losses mask the replicas).")
+        tail = "pad"
+
     train_loader, n_train, val_loader, n_val = prepare_dataloader(
         img_dir=args.img_dir, mask_dir=args.mask_dir, anno_dir=args.anno_dir,
         anno_keys=anno_keys, val_names=val_names or [],
@@ -162,7 +182,8 @@ def main(argv=None):
                if multihost else None),
         uint8_inputs=getattr(args, "uint8_inputs", None),
         data_seed=(None if getattr(args, "data_seed", 0) in (None, -1)
-                   else int(getattr(args, "data_seed", 0))))
+                   else int(getattr(args, "data_seed", 0))),
+        tail=tail)
     logger.info(f"Dataset: train={n_train} val={n_val} aug={args.aug}")
 
     if args.conf_path is not None:
@@ -195,7 +216,8 @@ def main(argv=None):
         rec_lambda=args.rec_lambda, reproj_lambda=args.reproj_lambda,
         consist_lambda=args.consist_lambda, uv_lambda=args.uv_lambda,
         consist_start_iter=args.consist_start_iter,
-        batch_size=args.batchsize)
+        batch_size=args.batchsize,
+        weight_semantics=getattr(args, "weight_semantics", "ref") or "ref")
 
     state_holder = {"state": None}
 
@@ -251,7 +273,6 @@ def main(argv=None):
     prev_term = signal.signal(signal.SIGTERM, request_interrupt)
     prev_int = signal.signal(signal.SIGINT, request_interrupt)
 
-    grad_accum = int(getattr(args, "grad_accum", 1) or 1)
     if grad_accum > 1:
         logger.info(f"Gradient accumulation: {grad_accum} micro-batches "
                     f"per optimizer step (effective batch "

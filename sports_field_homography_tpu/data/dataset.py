@@ -122,8 +122,16 @@ class BasicDataset:
                  mask_dir: Optional[str] = None, anno_dir: Optional[str] = None,
                  anno_keys: Optional[Sequence[str]] = None, num_classes: int = 1,
                  use_uv: bool = False, target_size=(1280, 720), aug=None,
-                 keep_orig_img: bool = False, raw_uint8: bool = False):
+                 keep_orig_img: bool = False, raw_uint8: bool = False,
+                 aug_seed: Optional[int] = None):
         self.raw_uint8 = raw_uint8
+        # deterministic augmentation: each sample's aug parameters derive
+        # from (aug_seed, epoch, index) instead of the global numpy RNG —
+        # immune to loader-thread scheduling, so same-seed augmented runs
+        # (and exact mid-epoch resume) are bit-identical.  None keeps the
+        # legacy global-RNG draw.  Loader.set_epoch forwards the epoch.
+        self.aug_seed = aug_seed
+        self._aug_epoch = 0
         assert (anno_dir is not None and anno_keys is not None) or anno_dir is None
         self.ids = list(ids)
         self.img_dir = img_dir
@@ -141,6 +149,11 @@ class BasicDataset:
 
     def __len__(self) -> int:
         return len(self.ids)
+
+    def set_epoch(self, epoch: int):
+        """Epoch for the derived per-sample augmentation seed (no-op
+        without ``aug_seed``)."""
+        self._aug_epoch = int(epoch)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         name = self.ids[i]
@@ -192,9 +205,16 @@ class BasicDataset:
                     sample[k] = anno.astype(np.float32)
 
         if self.aug is not None:
+            if self.aug_seed is not None:
+                seed = int(np.random.default_rng(
+                    [int(self.aug_seed), self._aug_epoch, int(i)]
+                ).integers(2147483647))
+            else:
+                # legacy: global-RNG draw — thread-schedule-dependent under
+                # the loader's worker pool (nondeterministic across runs)
+                seed = np.random.randint(2147483647)
             img, mask, uv, poi, nonzeros = self.aug(
-                img, mask, uv, poi, nonzeros,
-                seed=np.random.randint(2147483647))
+                img, mask, uv, poi, nonzeros, seed=seed)
             if self.raw_uint8:
                 img = np.clip(np.rint(img * 255.0), 0.0, 255.0).astype(np.uint8)
 

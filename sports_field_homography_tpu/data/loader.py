@@ -90,6 +90,10 @@ class Loader:
         of epochs).  Requires a seeded loader; without a seed the call is
         a no-op and ordering stays legacy-nondeterministic."""
         self._epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            # deterministic augmentation: per-sample aug seeds derive from
+            # (aug_seed, epoch, index) inside the dataset
+            self.dataset.set_epoch(epoch)
 
     def skip_next_batches(self, k: int):
         """One-shot: the next ``__iter__`` starts ``k`` batches into the

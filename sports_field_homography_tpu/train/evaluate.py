@@ -32,11 +32,19 @@ def norm_img(img):
 
 
 def make_eval_step(model, court_img, court_poi, target_size,
-                   use_per_sample_weights: bool = True):
+                   use_per_sample_weights: bool = True,
+                   weight_semantics: str = "ref"):
     """Build the jitted per-batch metric function.
 
     ``target_size`` is (W, H): reprojection px scales normalized [0,1]
     PoI coordinates by the frame size (reference ``eval.py:208-215``).
+
+    ``weight_semantics``: "ref" reproduces the reference's
+    ``per_sample_weighted_criterion`` outer-product broadcast exactly —
+    seg/rec scores are mean(per-sample loss) * mean(weights) (weights
+    decoupled from their samples), UV stays truly per-sample (see
+    train/loop.LossConfig for the full analysis); "sample" weights every
+    score per-sample.
     """
     tw, th = target_size
     mask_classes = model.config.mask_classes
@@ -87,10 +95,17 @@ def make_eval_step(model, court_img, court_poi, target_size,
                                axis=tuple(range(1, loss_map.ndim)))
                 return jnp.sum(per * w * valid) / nv
 
+            def decoupled(loss_map):
+                # reference outer-product broadcast: mean(per) * mean(w)
+                per = jnp.mean(loss_map.astype(jnp.float32),
+                               axis=tuple(range(1, loss_map.ndim)))
+                return (jnp.sum(per * valid) / nv) * (jnp.sum(w * valid) / nv)
+
+            seg_rec = decoupled if weight_semantics == "ref" else weighted
             if logits is not None:
-                out["seg"] = weighted(cross_entropy_map(logits, gt_masks_i))
+                out["seg"] = seg_rec(cross_entropy_map(logits, gt_masks_i))
             if warp_masks is not None:
-                out["rec"] = weighted(mse_map(warp_masks, gt_masks_f))
+                out["rec"] = seg_rec(mse_map(warp_masks, gt_masks_f))
             if uv is not None and unet_uv:
                 out["uv"] = weighted(mse_map(uv, batch["uv"]))
         else:
@@ -130,11 +145,12 @@ def make_eval_step(model, court_img, court_poi, target_size,
 
 def eval_reconstructor(model, variables, loader, court_img, court_poi,
                        target_size, use_per_sample_weights: bool = True,
-                       eval_step=None) -> Dict[str, object]:
+                       eval_step=None,
+                       weight_semantics: str = "ref") -> Dict[str, object]:
     """Run validation over a loader (reference ``eval_reconstructor``)."""
     if eval_step is None:
         eval_step = make_eval_step(model, court_img, court_poi, target_size,
-                                   use_per_sample_weights)
+                                   use_per_sample_weights, weight_semantics)
     sums = {"seg": 0.0, "rec": 0.0, "uv": 0.0, "consist": 0.0,
             "reproj_sum": 0.0, "reproj_px_sum": 0.0}
     n_batches = 0

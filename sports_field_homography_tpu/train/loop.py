@@ -57,6 +57,17 @@ class LossConfig:
     uv_lambda: float = 2.0
     consist_start_iter: int = 0
     batch_size: int = 8
+    # "ref": reference-exact per-sample weighting.  The reference's
+    # ``per_sample_weighted_criterion`` (models/losses.py:33-40) multiplies
+    # a (B,) per-sample loss by the (B,1) weight column, which broadcasts
+    # to the (B,B) OUTER product — so for the seg and rec losses the scalar
+    # is mean(per-sample loss) * mean(weights): the annotation-quality
+    # weights DECOUPLE from their samples and only scale the loss by the
+    # batch-mean weight.  The UV loss map is 4-D in torch (NCHW), its
+    # (B,W)*(B,1) broadcast aligns, so UV weighting IS truly per-sample.
+    # "sample": the evidently-intended semantics — every loss weighted
+    # per-sample (mean(w_i * l_i)).
+    weight_semantics: str = "ref"
 
 
 class TrainState(dict):
@@ -76,12 +87,23 @@ def _elementwise(loss_name):
     return {"MSE": mse_map, "SmoothL1": smooth_l1_map}[loss_name]
 
 
-def make_loss_fn(model, loss_cfg: LossConfig):
+def make_loss_fn(model, loss_cfg: LossConfig, axis_name: Optional[str] = None):
     """The multi-loss objective shared by the train step and the
     gradient-histogram probe (reference loss builders ``train.py:100-144``).
 
     Signature: ``loss_fn(params, batch_stats, batch, step_no, court_img,
     court_poi, warp_table) -> (total, (new_batch_stats, logs))``.
+
+    Tail-batch correction: when the batch carries a ``valid`` mask (the
+    loader pads the last batch to the static shape with replicas), every
+    loss mean counts ONLY real samples, matching the reference DataLoader's
+    smaller true-mean tail batch (``train.py:33-36``): padded samples are
+    zero-weighted and the mean is rescaled by ``B*shards/num_valid_global``
+    so the psum/pmean over data-parallel shards reproduces the global
+    true-sample mean even when the padding is unevenly sharded.  With no
+    padding the scale is exactly 1.0, so full batches are bit-identical to
+    the unmasked computation.  (Residual deviation: train-mode BatchNorm
+    statistics still see the replicas — see docs/PARITY.md.)
     """
     num_classes = model.config.mask_classes
 
@@ -97,35 +119,69 @@ def make_loss_fn(model, loss_cfg: LossConfig):
                                      mutable=["batch_stats"])
         logs = {}
         total = jnp.zeros((), jnp.float32)
-        weights = batch["weight"]
+
+        valid = batch.get("valid")
+        if valid is None:
+            vmask = jnp.ones((img.shape[0],), jnp.float32)
+        else:
+            vmask = valid.astype(jnp.float32)
+        local_n = jnp.sum(vmask)
+        if axis_name is not None:
+            shards = jax.lax.psum(1, axis_name)
+            total_n = jax.lax.psum(local_n, axis_name)
+        else:
+            shards = 1
+            total_n = local_n
+        scale = img.shape[0] * shards / total_n
+        w_raw = batch["weight"].reshape(-1).astype(jnp.float32)
+        coupled_w = w_raw * vmask * scale
+        if loss_cfg.weight_semantics == "ref":
+            # decoupled reference weighting for seg/rec (see LossConfig):
+            # value = global-masked-mean(per-sample loss) * wbar.  wbar has
+            # no parameter dependence, so the per-shard S-scaled masked
+            # mean keeps both the pmean'd VALUE and the pmean'd GRADIENTS
+            # exactly equal to the reference's global computation.
+            sw = jnp.sum(w_raw * vmask)
+            if axis_name is not None:
+                sw = jax.lax.psum(sw, axis_name)
+            wbar = sw / total_n
+            seg_rec_w = vmask * scale
+        else:
+            wbar = jnp.ones((), jnp.float32)
+            seg_rec_w = coupled_w
 
         if loss_cfg.seg_loss is not None:
             m = (cross_entropy_map if loss_cfg.seg_loss == "CE"
                  else focal_loss_map)(preds["logits"],
                                       batch["mask"].astype(jnp.int32))
-            seg = per_sample_weighted(m, weights) * loss_cfg.seg_lambda
+            seg = (per_sample_weighted(m, seg_rec_w) * wbar
+                   * loss_cfg.seg_lambda)
             total += seg
             logs["Seg_loss"] = seg
 
         if loss_cfg.rec_loss is not None:
             gt_f = batch["mask"].astype(jnp.float32) / float(num_classes)
             m = _elementwise(loss_cfg.rec_loss)(preds["warp_mask"], gt_f)
-            rec = per_sample_weighted(m, weights) * loss_cfg.rec_lambda
+            rec = (per_sample_weighted(m, seg_rec_w) * wbar
+                   * loss_cfg.rec_lambda)
             total += rec
             logs["Rec_loss"] = rec
 
         if loss_cfg.uv_loss is not None and model.config.unet_uv:
+            # the UV loss is truly per-sample in the reference too (its 4-D
+            # NCHW map broadcasts aligned) — coupled in both modes
             m = _elementwise(loss_cfg.uv_loss)(preds["uv"], batch["uv"])
-            uvl = per_sample_weighted(m, weights) * loss_cfg.uv_lambda
+            uvl = per_sample_weighted(m, coupled_w) * loss_cfg.uv_lambda
             total += uvl
             logs["UV_loss"] = uvl
 
         if loss_cfg.reproj_loss is not None:
-            rl = reprojection_loss(
+            rl_per = reprojection_loss(
                 preds["poi"], batch["poi"].astype(jnp.float32),
                 batch["nonzeros"].astype(jnp.float32),
                 batch["num_nonzero"].astype(jnp.float32),
-            ) * loss_cfg.reproj_lambda
+                reduction="none")
+            rl = jnp.mean(rl_per * vmask) * scale * loss_cfg.reproj_lambda
             total += rl
             logs["Reproj_loss"] = rl
 
@@ -136,7 +192,8 @@ def make_loss_fn(model, loss_cfg: LossConfig):
             # warmup gate (reference train.py:219-220), runtime multiplier
             gate = (step_no * loss_cfg.batch_size
                     >= loss_cfg.consist_start_iter).astype(jnp.float32)
-            cl = jnp.mean(m) * loss_cfg.consist_lambda * gate
+            m = m * vmask[:, None, None]
+            cl = jnp.mean(m) * scale * loss_cfg.consist_lambda * gate
             total += cl
             logs["Cons_loss"] = cl
 
@@ -174,7 +231,7 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     per-micro-batch statistics (exactly K plain steps' behavior); running
     stats thread through the scan sequentially.  Logs are the K-mean.
     """
-    loss_fn = make_loss_fn(model, loss_cfg)
+    loss_fn = make_loss_fn(model, loss_cfg, axis_name=axis_name)
 
     def step(state, batch, court_img, court_poi, warp_table=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

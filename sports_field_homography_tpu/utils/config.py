@@ -198,6 +198,18 @@ def get_training_args(ret_parser: bool = False, argv=None):
                              "augmentation is configured (bit-identical), "
                              "off with augmentation (rounds the augmented "
                              "float image back to 8 bits). 0/1 to force.")
+    parser.add_argument("--tail", type=str, default=None,
+                        choices=("exact", "pad"),
+                        help="Last-train-batch handling when n_train %% "
+                             "batchsize != 0. 'exact': yield the true "
+                             "smaller tail batch (reference DataLoader "
+                             "semantics, incl. BatchNorm statistics; costs "
+                             "one extra XLA compile for the tail shape). "
+                             "'pad': pad to the static batch with replicas "
+                             "(losses mask them out; BN stats still see "
+                             "them). Default: exact on a single device, "
+                             "pad with --num_devices/multi-host/grad_accum "
+                             "(those need uniform shapes).")
 
     # Losses:
     parser.add_argument("--rec_loss", type=str, default="MSE")
@@ -211,6 +223,15 @@ def get_training_args(ret_parser: bool = False, argv=None):
     parser.add_argument("--uv_lambda", type=float, default=2.0)
     parser.add_argument("--reproj_lambda", type=float, default=8.0)
     parser.add_argument("--consist_lambda", type=float, default=1.0)
+    parser.add_argument("--weight_semantics", type=str, default="ref",
+                        choices=("ref", "sample"),
+                        help="Per-sample annotation-quality weighting. "
+                             "'ref' reproduces the reference exactly: its "
+                             "(B,)*(B,1) broadcast outer-products, so the "
+                             "seg/rec losses see mean(loss)*mean(weights) "
+                             "— weights decoupled from samples (UV stays "
+                             "per-sample). 'sample' weights every loss "
+                             "truly per-sample (mean(w_i*l_i)).")
 
     return parser if ret_parser else parser.parse_args(argv)
 

@@ -114,7 +114,10 @@ def test_eval_weighted_masks_padding():
     pad["valid"] = np.arange(bs) < n
     out = step(bundle.variables, pad)
 
-    # hand-compute the weighted seg score on the 3 true samples
+    # hand-compute the weighted seg score on the 3 true samples.  Default
+    # semantics are reference-exact ("ref"): the torch (B,)*(B,1)
+    # broadcast outer-products, so seg = mean(per-sample CE) * mean(w)
+    # (see train/loop.LossConfig).
     logits = bundle.model.apply(
         bundle.variables, jnp.asarray(data["image"]),
         jnp.asarray(bundle.court_img[:n]), jnp.asarray(bundle.court_poi[:n]),
@@ -122,6 +125,15 @@ def test_eval_weighted_masks_padding():
     from sports_field_homography_tpu.models.losses import cross_entropy_map
     ce = np.asarray(cross_entropy_map(logits, jnp.asarray(
         data["mask"].astype(np.int32))))
-    per = ce.mean(axis=(1, 2)) * data["weight"].reshape(-1)
-    np.testing.assert_allclose(float(out["seg"]), per.mean(),
+    per = ce.mean(axis=(1, 2))
+    w = data["weight"].reshape(-1)
+    np.testing.assert_allclose(float(out["seg"]), per.mean() * w.mean(),
+                               rtol=1e-5, atol=1e-6)
+
+    # the opt-in "sample" semantics couple each weight to its sample
+    step_s = make_eval_step(bundle.model, bundle.court_img, bundle.court_poi,
+                            (W, H), use_per_sample_weights=True,
+                            weight_semantics="sample")
+    out_s = step_s(bundle.variables, pad)
+    np.testing.assert_allclose(float(out_s["seg"]), (per * w).mean(),
                                rtol=1e-5, atol=1e-6)

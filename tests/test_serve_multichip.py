@@ -64,13 +64,16 @@ def test_multichip_matches_single_chip(mc_server):
                         keep=("theta", "consist_score"))
     direct = jax.device_get(fn(bundle.variables, np.stack(imgs)))
     for i, (status, body) in enumerate(results):
-        # ulp-level f32 tolerance: the server's padded bucket (e.g. 8) and
-        # the direct batch-6 run tile the batch differently, reordering
-        # conv reductions; the perturbed test params put |theta| ~ 1e5
+        # f32-tail tolerance: the server's padded bucket (e.g. 8) and the
+        # direct batch-6 run tile the batch differently, reordering conv
+        # reductions; the perturbed test params put |theta| ~ 1e5.  rtol
+        # covers cross-compilation reduction drift too (an AOT executable
+        # compiled with different CPU-feature flags reorders reductions —
+        # observed up to 3.4e-5 rel; conftest now also isolates the cache).
         np.testing.assert_allclose(
             np.asarray(body["theta"]),
             np.asarray(direct["theta"][i], np.float64).reshape(3, 3),
-            rtol=1e-5, atol=1e-6)
+            rtol=1e-4, atol=1e-6)
         assert abs(body["score"] - float(direct["consist_score"][i])) < 1e-4
     # distinct inputs -> distinct thetas (no shard slice mixups)
     assert len({json.dumps(r[1]["theta"]) for r in results}) == len(imgs)
