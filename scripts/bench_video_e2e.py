@@ -152,7 +152,10 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     game_dir = os.path.join(args.workdir, "benchgame")
     os.makedirs(game_dir, exist_ok=True)
-    video = os.path.join(game_dir, "clip.mp4")
+    # Include the frame count in the filename so reruns with a different
+    # --n_frames in the same --workdir regenerate instead of benchmarking
+    # a stale video and failing the frame-count assertion below.
+    video = os.path.join(game_dir, "clip_%d.mp4" % args.n_frames)
     if not os.path.exists(video):
         make_video(video, args.n_frames)
     cp = make_checkpoint(os.path.join(args.workdir, "ckpt"), args.batch)
@@ -162,7 +165,8 @@ def main():
                       "unit": "frames/sec"}))
 
     for workers in [int(w) for w in args.video_workers.split(",")]:
-        dst = os.path.join(args.workdir, "out_w%d" % workers)
+        dst = os.path.join(args.workdir, "out_n%d_w%d" % (args.n_frames,
+                                                          workers))
         run_predict(video, cp, dst, args.batch, workers)   # compile pass
         n, fps = run_predict(video, cp, dst, args.batch, workers)
         court = json.load(open(os.path.join(

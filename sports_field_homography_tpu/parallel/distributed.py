@@ -188,6 +188,133 @@ def _smoke(pid: int, nprocs: int, port: int = 12411,
           f"local={float(local_logs['Tot_loss']):.6f}", flush=True)
 
 
+def _multistep(pid: int, nprocs: int, port: int, steps: int = 4,
+               ckpt_dir: str = "/tmp") -> None:
+    """N-step multi-host training e2e value test (one process of it).
+
+    Three contracts, all checked in-process and reported on one line:
+      * cross-host agreement: both processes print the same sha256 digest
+        of the final parameters (multi-controller SPMD determinism);
+      * checkpoint/resume: the full train state is saved mid-run via
+        ``utils.checkpoint.save_train_state`` and restored into the global
+        mesh; the resumed run's final params must be BIT-equal to the
+        uninterrupted distributed run;
+      * value parity vs single-process: the same N steps on the full
+        (unsharded) batches on one local device — mathematically identical,
+        floating-point different only through psum/pmean reduction order —
+        must match to tight tolerance (printed as maxabs over params).
+
+    The trajectory uses SGD: adaptive optimizers (RMSprop's
+    ``g/sqrt(square_avg)``) turn ulp-level reduction-order noise on
+    near-zero gradients into full-magnitude sign-flipped updates, making
+    cross-reduction-order comparison chaotic by construction; SGD is
+    linear in g so the true distributed drift stays observable (measured
+    ~7e-6 after 4 steps).  RMSprop cross-host loss agreement is covered
+    by the one-step smokes above.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    initialize_distributed(coordinator=f"127.0.0.1:{port}",
+                           num_hosts=nprocs, host_id=pid)
+    assert jax.process_count() == nprocs
+
+    import hashlib
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from __graft_entry__ import _flagship
+    from ..train.loop import LossConfig, init_train_state, make_train_step
+    from ..train.optim import make_optimizer
+    from ..utils.checkpoint import load_train_state, save_train_state
+
+    gbs = 2 * nprocs
+    w, h = 64, 32
+    model, court_img, court_poi, cfg = _flagship(
+        gbs, size=(w, h), dtype=jnp.float32, warp_with_nearest=False)
+    x1 = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, court_img[:1],
+                           court_poi[:1], train=False)
+
+    mesh = global_mesh(spatial=1)
+    start, per = process_slice(gbs)
+
+    def make_full_batch(step: int) -> dict:
+        # Every host derives the SAME global batch from the step number
+        # (the seeded-epoch-order schedule alignment), then slices locally.
+        rng = np.random.RandomState(1000 + step)
+        return {
+            "image": rng.rand(gbs, h, w, 3).astype(np.float32),
+            "mask": rng.randint(0, 4, size=(gbs, h, w)).astype(np.int64),
+            "poi": rng.rand(gbs, 52, 2).astype(np.float32),
+            "nonzeros": np.ones((gbs, 52), np.float32),
+            "num_nonzero": np.full((gbs,), 52.0, np.float32),
+            "weight": np.ones((gbs, 1), np.float32),
+        }
+
+    optimizer = make_optimizer("SGD", 1e-3)
+    loss_cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
+                          consist_loss="CE", consist_start_iter=0,
+                          batch_size=gbs)
+    repl = NamedSharding(mesh, P())
+    ci = jax.device_put(court_img, repl)
+    cp = jax.device_put(court_poi, repl)
+    step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))
+
+    def run_dist(state, first: int, last: int, save_at: int = -1):
+        for s in range(first, last):
+            local = {k: v[start:start + per]
+                     for k, v in make_full_batch(s).items()}
+            gbatch = host_local_batch_to_global(local, mesh)
+            state, logs = step_fn(state, gbatch, ci, cp)
+            if s == save_at:
+                jax.block_until_ready(state)
+                save_train_state(ckpt_path, jax.device_get(state))
+        jax.block_until_ready(state)
+        return state, logs
+
+    # (1) uninterrupted distributed run, checkpointing after step `half`
+    ckpt_path = os.path.join(ckpt_dir, f"dist_multistep_{pid}.msgpack")
+    half = steps // 2
+    state = jax.device_put(init_train_state(variables, optimizer), repl)
+    state, logs = run_dist(state, 0, steps, save_at=half - 1)
+    final = jax.device_get(state)
+    loss = float(logs["Tot_loss"])
+
+    # (2) resume from the mid-run checkpoint, finish the schedule
+    target = init_train_state(variables, optimizer)
+    restored = jax.device_put(load_train_state(ckpt_path, target), repl)
+    state2, _ = run_dist(restored, half, steps)
+    final2 = jax.device_get(state2)
+    leaves1 = jax.tree.leaves(final)
+    leaves2 = jax.tree.leaves(final2)
+    resume_bit_equal = all(
+        np.asarray(a).tobytes() == np.asarray(b).tobytes()
+        for a, b in zip(leaves1, leaves2))
+
+    # (3) single-process reference: full batches on one local device
+    lstate = init_train_state(variables, optimizer)
+    lstep = jax.jit(make_train_step(model, optimizer, loss_cfg))
+    for s in range(steps):
+        lstate, _ = lstep(lstate, make_full_batch(s), court_img, court_poi)
+    lfinal = jax.device_get(lstate)
+    maxabs = 0.0
+    for a, b in zip(jax.tree.leaves(final["params"]),
+                    jax.tree.leaves(lfinal["params"])):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        maxabs = max(maxabs, float(np.max(np.abs(a - b))))
+
+    digest = hashlib.sha256()
+    for leaf in jax.tree.leaves(final["params"]):
+        digest.update(np.asarray(leaf).tobytes())
+    print(f"DIST_MULTISTEP pid={pid} digest={digest.hexdigest()[:16]} "
+          f"resume_bit_equal={resume_bit_equal} maxabs={maxabs:.3e} "
+          f"loss={loss:.6f}", flush=True)
+
+
 if __name__ == "__main__":
     import sys
 
@@ -196,6 +323,16 @@ if __name__ == "__main__":
         accum = 1
         if "--grad_accum" in sys.argv:
             accum = int(sys.argv[sys.argv.index("--grad_accum") + 1])
-        _smoke(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
-               port=int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 12411,
-               grad_accum=accum)
+        if "--steps" in sys.argv:
+            ckpt_dir = "/tmp"
+            if "--ckpt_dir" in sys.argv:
+                ckpt_dir = sys.argv[sys.argv.index("--ckpt_dir") + 1]
+            _multistep(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                       port=int(sys.argv[i + 3]),
+                       steps=int(sys.argv[sys.argv.index("--steps") + 1]),
+                       ckpt_dir=ckpt_dir)
+        else:
+            _smoke(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                   port=int(sys.argv[i + 3]) if len(sys.argv) > i + 3
+                   else 12411,
+                   grad_accum=accum)

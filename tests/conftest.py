@@ -35,3 +35,38 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", _test_cache)
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Test tiers.  The whole suite takes 40-70 min on a loaded 1-CPU host, so the
+# heavy end-to-end modules are marked ``full`` and SKIPPED by default; the
+# default run is the <10-min smoke tier.  Run everything with:
+#
+#     python -m pytest tests/ --full            (or SFH_FULL_TESTS=1)
+#
+# and only the full tier with ``-m full --full``.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="also run the heavy 'full'-tier tests (subprocess train runs, "
+             "distributed smokes, soak tests; 40-70 min total)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "full: heavy end-to-end test, skipped unless --full or "
+                   "SFH_FULL_TESTS=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full") or os.environ.get("SFH_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="full tier: run with --full or SFH_FULL_TESTS=1")
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)

@@ -7,10 +7,13 @@ arrays, and run one real Reconstructor train step.  Both hosts must agree
 on the (fully replicated) loss — the multi-controller SPMD contract.
 """
 import os
+import pytest
 import re
 import socket
 import subprocess
 import sys
+
+pytestmark = pytest.mark.full
 
 
 def _child_env():
@@ -85,3 +88,44 @@ def test_two_process_grad_accum_step_smoke():
     # single-device reference: same math, different reduction order
     assert abs(dist[0] - local[0]) < 1e-4 * max(1.0, abs(local[0])), \
         (dist, local)
+
+
+def test_two_process_multistep_ckpt_value_parity(tmp_path):
+    """Multi-host train e2e value test: a 4-step 2-process run must (a)
+    agree bit-wise across hosts (same final-params digest), (b) be
+    bit-identical when interrupted by a mid-run full-state checkpoint and
+    resumed, and (c) match the same schedule run single-process to tight
+    tolerance (only psum/pmean reduction order differs; SGD trajectory —
+    see the _multistep docstring for why adaptive optimizers cannot be
+    compared across reduction orders)."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m",
+             "sports_field_homography_tpu.parallel.distributed",
+             "--smoke", str(i), "2", str(port), "--steps", "4",
+             "--ckpt_dir", str(tmp_path)],
+            cwd="/root/repo", env=_child_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out[-4000:]
+    rows = []
+    for out in outs:
+        m = re.search(r"DIST_MULTISTEP pid=\d digest=([0-9a-f]+) "
+                      r"resume_bit_equal=(\w+) maxabs=([\d.e+-]+)", out)
+        assert m, out[-2000:]
+        rows.append((m.group(1), m.group(2), float(m.group(3))))
+    assert rows[0][0] == rows[1][0], rows          # cross-host digest
+    for digest, bit_equal, maxabs in rows:
+        assert bit_equal == "True", rows           # ckpt/resume bit parity
+        # measured drift after 4 SGD steps: ~7e-6 on a virtual 2-device
+        # mesh (pure reduction order), ~1.1e-4 in the real 2-process gloo
+        # run (partitioned codegen differs too); 1e-3 bounds both with
+        # margin while still catching any real divergence (a misrouted
+        # sample shifts params by ~the update size, 1e-2+)
+        assert maxabs < 1e-3, rows                 # vs single-process run

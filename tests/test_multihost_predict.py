@@ -16,6 +16,8 @@ import pytest
 import yaml
 from PIL import Image
 
+pytestmark = pytest.mark.full
+
 W, H = 64, 36
 N_FRAMES = 6
 COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"

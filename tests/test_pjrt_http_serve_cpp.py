@@ -25,6 +25,8 @@ import uuid
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.full
+
 W, H = 64, 36
 COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
 COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"

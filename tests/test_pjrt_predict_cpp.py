@@ -48,10 +48,10 @@ def _have_header():
         return False
 
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.full, pytest.mark.skipif(
     not (shutil.which("g++") and _have_header()
          and os.path.isdir("/usr/include/opencv4")),
-    reason="needs g++, OpenCV dev files, and the PJRT C API header")
+    reason="needs g++, OpenCV dev files, and the PJRT C API header")]
 
 requires_plugin = pytest.mark.skipif(
     not os.path.exists(PLUGIN), reason="needs the axon PJRT plugin")
@@ -297,7 +297,7 @@ def test_cpp_predict_masks(tmp_path):
         assert stream.exists(), f"missing {stream}"
         assert not (pkl_dir / "court" / sub / "frame_000.png").exists()
         reader = MaskReader(path=str(stream))
-        entries = dict(reader.get(decode=True))
+        entries = {name: MaskReader.decode(buf) for name, buf in reader}
         assert sorted(entries) == [f"frame_{i:03d}" for i in range(3)]
         for i in range(3):
             png = cv2.imread(str(out_dir / "court" / sub /

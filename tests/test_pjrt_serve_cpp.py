@@ -39,9 +39,9 @@ def _have_header():
         return False
 
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.full, pytest.mark.skipif(
     not (os.path.exists(PLUGIN) and shutil.which("g++") and _have_header()),
-    reason="needs the axon PJRT plugin, g++, and the PJRT C API header")
+    reason="needs the axon PJRT plugin, g++, and the PJRT C API header")]
 
 
 class _Args:

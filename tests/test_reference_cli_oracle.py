@@ -22,6 +22,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.full
+
 import jax
 
 from sports_field_homography_tpu.cli.engine import build_model

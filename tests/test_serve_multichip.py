@@ -12,6 +12,8 @@ import threading
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.full
+
 import jax
 
 from test_serve import H, W, COURT_IMG, COURT_POI, _post_image, _start, \

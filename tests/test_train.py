@@ -12,6 +12,8 @@ import pytest
 import yaml
 from PIL import Image
 
+pytestmark = pytest.mark.full
+
 import jax
 import jax.numpy as jnp
 

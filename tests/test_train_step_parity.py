@@ -25,6 +25,8 @@ import pytest
 import torch
 import torch.nn as nn
 
+pytestmark = pytest.mark.full
+
 import jax
 import jax.numpy as jnp
 
