@@ -6,6 +6,8 @@ Mosaic on TPU (measured in scripts/bench_train_step.py --fused_bn).
 import numpy as np
 
 import jax
+
+import pytest
 import jax.numpy as jnp
 
 from sports_field_homography_tpu.models.layers import BatchNorm
@@ -83,6 +85,7 @@ def test_batchnorm_module_fuse_relu_path():
             np.asarray(st_ref["batch_stats"][k]), atol=1e-5)
 
 
+@pytest.mark.full
 def test_unet_fused_bn_train_step_matches():
     """A UNet forward+backward with fused_bn on/off agrees to bf16-train
     tolerances (same params, same batch)."""

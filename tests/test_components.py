@@ -196,6 +196,7 @@ Test scores:
 
 
 class TestLegacyModels:
+    @pytest.mark.full
     def test_legacy_unet_and_court_reconstruction_shapes(self):
         from sports_field_homography_tpu.models.legacy import (
             UNet, CourtReconstruction)

@@ -8,6 +8,8 @@ accumulates per-batch means over whatever the tail batch holds).
 import numpy as np
 
 import jax
+
+import pytest
 import jax.numpy as jnp
 
 from sports_field_homography_tpu.cli.engine import build_model
@@ -40,6 +42,7 @@ def _samples(n, rng):
     }
 
 
+@pytest.mark.full
 def test_eval_exact_on_ragged_set():
     rng = np.random.RandomState(0)
     n, bs = 7, 4                      # 7 samples, batch 4 -> padded tail of 3
@@ -98,6 +101,7 @@ def test_eval_exact_on_ragged_set():
     assert abs(float(o2_bad["seg"]) - float(o2["seg"])) > 0 or True
 
 
+@pytest.mark.full
 def test_eval_weighted_masks_padding():
     """Per-sample-weighted eval (train-loop path) also excludes padding."""
     rng = np.random.RandomState(1)

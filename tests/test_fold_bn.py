@@ -2,12 +2,15 @@
 import numpy as np
 
 import jax
+
+import pytest
 import jax.numpy as jnp
 
 from sports_field_homography_tpu.models import Reconstructor, ReconstructorConfig
 from sports_field_homography_tpu.ops.fold_bn import fold_batchnorm
 
 
+@pytest.mark.full
 def test_folded_predict_matches_unfolded():
     cfg = ReconstructorConfig(target_size=(64, 36), unet_size=(64, 36),
                               warp_size=(64, 36), resnet_name="resnet18",

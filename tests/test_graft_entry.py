@@ -1,6 +1,8 @@
 """Driver-entry smoke tests (traceability without heavy compiles)."""
 import sys
 
+import pytest
+
 import jax
 
 sys.path.insert(0, "/root/repo")
@@ -21,6 +23,7 @@ def test_dryrun_multichip_importable():
     assert callable(dryrun_multichip)
 
 
+@pytest.mark.full
 def test_dryrun_multichip_driver_invocation():
     """Invoke dryrun_multichip(8) exactly the driver's way: a fresh process
     with NO conftest and no device-count XLA flags, where the default

@@ -3,6 +3,7 @@ pipeline (uint16 TIFF masks), hub constructors, mapping examples."""
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,7 @@ def test_failed_save_never_truncates_existing_checkpoint(tmp_path):
                                   good["params"]["w"])
 
 
+@pytest.mark.full
 def test_uv_training_pipeline(tmp_path):
     """unet_uv end to end: uint16 TIFF masks -> dataset -> train step with
     UV loss (resnet_input img+mask+uv)."""

@@ -51,6 +51,7 @@ def test_train_forward_and_stats(setup):
                                    err_msg=str(path))
 
 
+@pytest.mark.full
 def test_train_grads(setup):
     x, variables, unet_x, unet_p = setup
     rng = np.random.RandomState(1)

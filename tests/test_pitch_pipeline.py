@@ -51,6 +51,7 @@ def test_pitch_template_converted(pitch_dataset):
     assert np.asarray(anno["poi"]).shape == (33, 3)   # pitch PoI set
 
 
+@pytest.mark.full
 def test_pitch_train_and_predict_end_to_end(pitch_dataset, tmp_path):
     """Train one epoch on the pitch dataset, then predict with the same
     template + 33-point PoI set through the CLI."""

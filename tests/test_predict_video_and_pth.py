@@ -1,5 +1,7 @@
 """Video-source prediction, reference-.pth loading, and multi-chip predict."""
 import json
+
+import pytest
 import os
 
 import numpy as np
@@ -124,6 +126,7 @@ def _perturb_params(variables, scale=0.02):
     return out
 
 
+@pytest.mark.full
 def test_multichip_sharded_predict():
     """shard_predict_fn over the 8 virtual devices == single-device output.
 
@@ -221,6 +224,7 @@ def test_soccer_pitch_variant_predict(tmp_path):
     assert len(os.listdir(tmp_path / "out" / "court" / "warp_mask")) == 3
 
 
+@pytest.mark.full
 def test_predict_cli_num_devices(tmp_path):
     """--num_devices shards CLI inference over the virtual 8-device mesh."""
     from PIL import Image
@@ -273,6 +277,7 @@ def test_predict_cli_num_devices(tmp_path):
         assert abs(out[k]["score"] - ref[k]["score"]) < 1e-3, k
 
 
+@pytest.mark.full
 def test_spatial_forward_matches_replicated():
     """H-axis GSPMD sharding must not change the forward outputs."""
     from sports_field_homography_tpu.cli.engine import build_model

@@ -251,6 +251,7 @@ def test_batcher_close_fails_stragglers():
     assert isinstance(straggler.error, RuntimeError)
 
 
+@pytest.mark.full
 def test_serve_artifact_fixed_batch(tmp_path):
     """A fixed-batch StableHLO artifact serves (weights baked in, no
     checkpoint): the batcher pins to the artifact's batch bucket."""
@@ -280,6 +281,7 @@ def test_serve_artifact_fixed_batch(tmp_path):
         batcher.close()
 
 
+@pytest.mark.full
 def test_serve_artifact_bucket_dir(tmp_path):
     """A directory of b{N} sub-artifacts (export_serving --buckets, the
     cpp/pjrt_http_serve layout) serves every exported batch as a bucket,

@@ -6,6 +6,8 @@ bit-identical outputs to the live jitted predict it was exported from.
 """
 import importlib.util
 import json
+
+import pytest
 import os
 
 import numpy as np
@@ -93,6 +95,7 @@ def test_export_bf16_weights_bit_equal(tmp_path):
                                    rtol=1e-5, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.full
 def test_export_poly_batch(tmp_path):
     """A --poly_batch artifact (symbolic batch dim) serves ANY batch size,
     bit-equal to the live model per batch; batch-1 court constants
@@ -134,6 +137,7 @@ def test_export_poly_batch(tmp_path):
                     err_msg=f"replicated-{k}")
 
 
+@pytest.mark.full
 def test_export_cli(tmp_path):
     cp_dir = tmp_path / "ckpt"
     cp_dir.mkdir()

@@ -180,6 +180,7 @@ def test_masked_padding_uneven_across_dp_shards():
                                    rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.full
 def test_exact_tail_cli_runs_ragged_last_batch(tmp_path):
     """Single-device CLI default (--tail exact): n_train=8, batchsize=3 ->
     3 optimizer steps with a true 2-sample tail batch (one extra compiled
@@ -250,6 +251,7 @@ def test_augmented_loader_is_deterministic():
         assert not np.array_equal(a, c)
 
 
+@pytest.mark.full
 def test_exact_mid_epoch_resume_bit_identical_with_augmentation(tmp_path):
     """The round-3 exact-resume bit-identity claim extended to an
     AUGMENTED run: with derived aug seeds, interrupt + resume reproduces

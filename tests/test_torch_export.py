@@ -50,6 +50,7 @@ CFG = dict(target_size=(64, 36), unet_size=(64, 36), warp_size=(64, 36),
            resnet_input="img+mask")
 
 
+@pytest.mark.full
 def test_roundtrip_exact():
     cfg = ReconstructorConfig(**CFG)
     _, variables, _, _ = _init_variables(cfg)
@@ -67,7 +68,10 @@ def test_roundtrip_exact():
                                       err_msg=jax.tree_util.keystr(p))
 
 
-@pytest.mark.parametrize("resnet_name", ["resnet18", "resnet50"])
+@pytest.mark.parametrize("resnet_name", [
+    "resnet18",
+    pytest.param("resnet50", marks=pytest.mark.full),
+])
 def test_strict_load_and_forward_parity(resnet_name, tmp_path):
     cfg = ReconstructorConfig(**{**CFG, "resnet_name": resnet_name})
     model, variables, ci_j, cp_j = _init_variables(cfg)

@@ -83,6 +83,7 @@ def test_build_dataset_uv_step(uv_dataset, tmp_path):
     assert (u[:, :2] == 0).all()  # offset-trimmed border
 
 
+@pytest.mark.full
 def test_train_uv_end_to_end(uv_dataset, tmp_path):
     """Train CLI with unet_uv + uv_loss on the repo-produced tiffs."""
     from sports_field_homography_tpu.cli.train import main
