@@ -167,6 +167,13 @@ def _smoke(pid: int, nprocs: int, port: int = 12411,
                           consist_loss="CE", consist_start_iter=0,
                           batch_size=gbs)
     repl = NamedSharding(mesh, P())
+    # form the gloo clique before the big compile (see _multistep: the
+    # context-init handshake has a hard 30 s window, smaller than the
+    # possible cross-process compile skew on a loaded host)
+    warm = host_local_batch_to_global(
+        {"x": np.ones((per,), np.float32)}, mesh)["x"]
+    jax.block_until_ready(jax.jit(lambda a: a.sum(),
+                                  out_shardings=repl)(warm))
     state = jax.device_put(init_train_state(variables, optimizer), repl)
     ci = jax.device_put(court_img, repl)
     cp = jax.device_put(court_poi, repl)
@@ -260,6 +267,20 @@ def _multistep(pid: int, nprocs: int, port: int, steps: int = 4,
                           consist_loss="CE", consist_start_iter=0,
                           batch_size=gbs)
     repl = NamedSharding(mesh, P())
+
+    # Establish the gloo clique with a trivial collective BEFORE the
+    # expensive train-step compile: gloo's context-init handshake has a
+    # hard 30 s window, and on a loaded host the per-process compile-time
+    # skew of the big program can exceed it (observed: the fast process
+    # dies with "Gloo context initialization failed: DEADLINE_EXCEEDED"
+    # while the slow one is still compiling).  The tiny program compiles
+    # in seconds on both, so the clique forms inside the window and later
+    # collectives reuse it.
+    warm = host_local_batch_to_global(
+        {"x": np.ones((per,), np.float32)}, mesh)["x"]
+    jax.block_until_ready(jax.jit(lambda a: a.sum(),
+                                  out_shardings=repl)(warm))
+
     ci = jax.device_put(court_img, repl)
     cp = jax.device_put(court_poi, repl)
     step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg))

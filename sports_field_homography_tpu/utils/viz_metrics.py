@@ -71,11 +71,7 @@ def parse_model_dir(model_dir, target_dataset=None, max_reproj_px=None):
         return None
     read_version(conf_path)
     checkpoints = read_log(test_path, target_dataset, max_reproj_px)
-    best = None
-    for entry in checkpoints:
-        if best is None or entry["reproj_px"] < best["reproj_px"]:
-            best = entry
-    return best
+    return min(checkpoints, key=lambda e: e["reproj_px"], default=None)
 
 
 def plot_chart(scores, ykey, xkey, ylabel="", xlabel="", legend=True):
@@ -92,9 +88,8 @@ def plot_chart(scores, ykey, xkey, ylabel="", xlabel="", legend=True):
     ax.set_ylabel(ylabel)
     ax.set_xlabel(xlabel)
     for i, score in enumerate(scores):
-        color = next(color_map)
-        ax.scatter(score[xkey], score[ykey], color=color,
-                   label="{} {}".format(i + 1, score["name"]))
+        ax.scatter(score[xkey], score[ykey], color=next(color_map),
+                   label=f"{i + 1} {score['name']}")
         ax.text(score[xkey], score[ykey], str(i + 1))
     if legend:
         box = ax.get_position()
@@ -106,18 +101,14 @@ def plot_chart(scores, ykey, xkey, ylabel="", xlabel="", legend=True):
 def make_score_log(model_scores, score_keys, dst_path=None):
     log = []
     for key in score_keys:
-        data = []
-        for i, model in enumerate(model_scores):
-            data.append((model[key], "{:.6f} : ({}) {} ({})".format(
-                model[key], i + 1, model["name"], model["epoch"])))
-        data.sort(key=lambda pair: pair[0])
-        log.append(">>>{}:".format(key))
-        log.extend(line for _, line in data)
-        log.append("")
+        ranked = sorted(
+            (model[key],
+             f"{model[key]:.6f} : ({i + 1}) {model['name']} ({model['epoch']})")
+            for i, model in enumerate(model_scores))
+        log += [f">>>{key}:", *(line for _, line in ranked), ""]
     if dst_path is not None:
         with open(dst_path, "w") as f:
-            for line in log:
-                f.write("%s\n" % line)
+            f.write("".join(line + "\n" for line in log))
     return log
 
 
@@ -139,11 +130,10 @@ def vizualize_metrics(src_dir, dst_dir=None, target_dataset=None,
         model_dir = os.path.join(src_dir, name)
         if not os.path.isdir(model_dir):
             continue
-        print("Parsing {}...".format(model_dir))
+        print(f"Parsing {model_dir}...")
         score = parse_model_dir(model_dir, target_dataset, max_reproj_px)
         if score is not None:
-            score["name"] = name
-            model_scores.append(score)
+            model_scores.append(dict(score, name=name))
 
     if dst_dir is not None:
         os.makedirs(dst_dir, exist_ok=True)
@@ -151,9 +141,9 @@ def vizualize_metrics(src_dir, dst_dir=None, target_dataset=None,
     for xkey, xlabel, ykey, ylabel in _CHARTS:
         plt = plot_chart(model_scores, ykey, xkey, ylabel, xlabel)
         if dst_dir is not None:
-            dst_path = os.path.join(dst_dir, xkey + "-vs-" + ykey + ".png")
+            dst_path = os.path.join(dst_dir, f"{xkey}-vs-{ykey}.png")
             plt.savefig(dst_path)
-            print("Chart has been saved to {}".format(dst_path))
+            print(f"Chart has been saved to {dst_path}")
         if show:
             plt.show()
         plt.close()
@@ -163,6 +153,6 @@ def vizualize_metrics(src_dir, dst_dir=None, target_dataset=None,
         make_score_log(model_scores,
                        ["reproj_px", "reproj_rmse", "segm_ce", "rec_mse",
                         "imgs_per_sec"], log_path)
-        print("Log has been saved to {}".format(log_path))
+        print(f"Log has been saved to {log_path}")
     print("All done!")
     return model_scores

@@ -98,22 +98,30 @@ def test_two_process_multistep_ckpt_value_parity(tmp_path):
     tolerance (only psum/pmean reduction order differs; SGD trajectory —
     see the _multistep docstring for why adaptive optimizers cannot be
     compared across reduction orders)."""
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m",
-             "sports_field_homography_tpu.parallel.distributed",
-             "--smoke", str(i), "2", str(port), "--steps", "4",
-             "--ckpt_dir", str(tmp_path)],
-            cwd="/root/repo", env=_child_env(), stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-        assert p.returncode == 0, out[-4000:]
+    for attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m",
+                 "sports_field_homography_tpu.parallel.distributed",
+                 "--smoke", str(i), "2", str(port), "--steps", "4",
+                 "--ckpt_dir", str(tmp_path)],
+                cwd="/root/repo", env=_child_env(), stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True)
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+        # loaded-host infra flake: compile-time skew can still blow gloo's
+        # 30 s context-init window despite the in-process warmup — retry
+        # the pair once before declaring failure
+        gloo_flake = any("Gloo context initialization failed" in o
+                         for o in outs)
+        assert attempt == 0 and gloo_flake, outs[0][-2000:] + outs[1][-2000:]
     rows = []
     for out in outs:
         m = re.search(r"DIST_MULTISTEP pid=\d digest=([0-9a-f]+) "
