@@ -115,20 +115,42 @@ def _build_ref(variables, batch, unet_uv=False):
 
 
 def _ref_train_step(net, batch, opt_name, consist=True, uv=False,
-                    n_steps=1, batch_seq=None):
+                    n_steps=1, batch_seq=None,
+                    seg_loss="CE", rec_loss="MSE", consist_loss="CE",
+                    uv_loss="MSE"):
     """The reference training step, verbatim semantics
-    (``/root/reference/train.py:86-95,186-237``)."""
+    (``/root/reference/train.py:86-95,186-237``), with the reference's
+    own criterion builders (``train.py:100-144``): CE / kornia
+    FocalLoss(alpha=1, gamma=2) for seg+consistency, MSE / nn.SmoothL1Loss
+    for rec+uv."""
+    import kornia  # the stub installed by import_reference()
+
     if opt_name == "RMSprop":
         optimizer = torch.optim.RMSprop(net.parameters(), lr=LR,
                                         weight_decay=WD, momentum=0.9)
     else:
         optimizer = torch.optim.SGD(net.parameters(), lr=LR,
                                     weight_decay=WD, momentum=0.9)
-    seg_criterion = nn.CrossEntropyLoss(reduction="none")
-    rec_criterion = nn.MSELoss(reduction="none")
-    uv_criterion = nn.MSELoss(reduction="none")
+    # builders exactly as /root/reference/train.py:100-144
+    if seg_loss == "CE":
+        seg_criterion = nn.CrossEntropyLoss(reduction="none")
+    else:
+        seg_criterion = kornia.losses.FocalLoss(alpha=1.0, gamma=2.0,
+                                                reduction="none")
+    if rec_loss == "MSE":
+        rec_criterion = nn.MSELoss(reduction="none")
+    else:
+        rec_criterion = nn.SmoothL1Loss(reduction="none")
+    if uv_loss == "MSE":
+        uv_criterion = nn.MSELoss(reduction="none")
+    else:
+        uv_criterion = nn.SmoothL1Loss(reduction="none")
     reproj_criterion = ref_losses.ReprojectionLoss()
-    consist_criterion = nn.CrossEntropyLoss()
+    if consist_loss == "CE":
+        consist_criterion = nn.CrossEntropyLoss()
+    else:
+        consist_criterion = kornia.losses.FocalLoss(alpha=1.0, gamma=2.0,
+                                                    reduction="mean")
     net.train()
 
     history = []
@@ -299,6 +321,82 @@ def test_one_step_uv_mode():
         if nref < 1e-6:
             continue    # mathematically-zero leaves (conv bias before BN)
         assert _rel_l2(g_ref, exported[name]) < 2e-2, name
+
+
+def test_one_step_focal_smoothl1_all_variant_losses():
+    """The OTHER half of the loss-builder matrix (reference
+    ``train.py:100-144``): seg_loss='focal', rec_loss='SmoothL1',
+    consist_loss='focal', uv_loss='SmoothL1' — every selectable criterion
+    that the CE/MSE tests don't cover — value + gradient parity through
+    one full RMSprop step.
+
+    The torch side uses the reference's own builders (kornia
+    FocalLoss(alpha=1, gamma=2) via the stub whose formula is
+    independently corroborated by tests/test_loss_parity.py, and
+    nn.SmoothL1Loss which is real torch)."""
+    B = 3
+    rng = np.random.RandomState(41)
+    batch = _batch(rng, B, uv=True)
+
+    model, variables, ci_j, cp_j = _build_ours(B, unet_uv=True)
+    net = _build_ref(variables, B, unet_uv=True)
+
+    ref_logs, ref_grads = _ref_train_step(
+        net, batch, "RMSprop", consist=True, uv=True,
+        seg_loss="focal", rec_loss="SmoothL1", consist_loss="focal",
+        uv_loss="SmoothL1")
+    ref_logs = ref_logs[0]
+    ref_post = {k: v.detach().numpy().copy()
+                for k, v in net.state_dict().items()}
+
+    loss_cfg = LossConfig(seg_loss="focal", rec_loss="SmoothL1",
+                          reproj_loss="RRMSE", consist_loss="focal",
+                          uv_loss="SmoothL1", batch_size=B,
+                          seg_lambda=LAMBDAS["seg"], rec_lambda=LAMBDAS["rec"],
+                          reproj_lambda=LAMBDAS["reproj"],
+                          consist_lambda=LAMBDAS["consist"],
+                          uv_lambda=LAMBDAS["uv"])
+    optimizer = make_optimizer("RMSprop", LR, WD, grad_clip_value=0.1)
+    step = jax.jit(make_train_step(model, optimizer, loss_cfg,
+                                   with_grads=True))
+    state = init_train_state(variables, optimizer)
+    new_state, logs, grads = step(state, batch, ci_j, cp_j, None)
+
+    for k in ("Seg_loss", "Rec_loss", "UV_loss", "Reproj_loss", "Tot_loss"):
+        np.testing.assert_allclose(float(logs[k]), ref_logs[k],
+                                   rtol=2e-3, atol=1e-4, err_msg=k)
+    # consistency focal: same truncation-label-flip noise envelope as CE
+    np.testing.assert_allclose(float(logs["Cons_loss"]),
+                               ref_logs["Cons_loss"], rtol=1e-2, atol=1e-3)
+
+    exported = export_state_dict({"params": jax.device_get(grads)})
+    checked = 0
+    for name, g_ref in ref_grads.items():
+        g_ours = exported.get(name)
+        assert g_ours is not None, f"no exported grad for {name}"
+        nref = np.linalg.norm(np.asarray(g_ref, np.float64))
+        if nref < 1e-6:
+            continue    # mathematically-zero leaves (conv bias before BN)
+        rel = _rel_l2(g_ref, g_ours)
+        assert rel < 2e-2, (name, rel, nref)
+        checked += 1
+    assert checked > 50
+
+    # post-step params + BN stats (same RMSprop first-step envelope as the
+    # CE/MSE test)
+    post = export_state_dict({"params": new_state["params"],
+                              "batch_stats": new_state["batch_stats"]})
+    for name, v_ref in ref_post.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        v_ours = np.asarray(post[name], np.float64)
+        v_ref = np.asarray(v_ref, np.float64)
+        if "running_" in name:
+            np.testing.assert_allclose(v_ours, v_ref, rtol=1e-3, atol=1e-5,
+                                       err_msg=name)
+        else:
+            np.testing.assert_allclose(v_ours, v_ref, atol=2.5e-3,
+                                       err_msg=name)
 
 
 def test_twenty_step_trajectory_tracks():
