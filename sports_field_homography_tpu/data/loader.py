@@ -44,7 +44,14 @@ class Loader:
 
     Yields dicts of stacked numpy arrays plus:
       * ``valid``: (B,) bool — False on padding replicas of the tail batch;
-      * ``num_valid``: int — true sample count.
+      * ``num_valid``: int — true sample count;
+      * ``pad_global``: 0-d bool ndarray — True iff the GLOBAL batch
+        (before any host sharding) contains padding.  Multi-host processes
+        see only their shard's ``valid``, which can be all-True while
+        another host's shard holds the padding; every host derives
+        ``pad_global`` from the same pre-shard mask, so program-variant
+        decisions keyed on it (train_net's masked-BN tail step) agree
+        across hosts.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
@@ -118,14 +125,14 @@ class Loader:
         self._skip_batches = 0
 
         def batches_of_indices():
-            """Yield (local_indices, local_valid) per batch."""
+            """Yield (local_indices, local_valid, global_has_pad) per batch."""
             for start in range(first, n, bs):
                 idx = order[start:start + bs]
                 if len(idx) < bs and self.drop_last:
                     return
                 valid = np.ones(len(idx), bool)
-                if len(idx) < bs and self.pad_last:
-                    pad = bs - len(idx)
+                pad = bs - len(idx)
+                if pad and self.pad_last:
                     idx = np.concatenate([idx, np.full(pad, idx[-1])])
                     valid = np.concatenate([valid, np.zeros(pad, bool)])
                 if self.shard is not None:
@@ -133,7 +140,7 @@ class Loader:
                     per = len(idx) // sc       # == bs // sc (padded above)
                     idx = idx[si * per:(si + 1) * per]
                     valid = valid[si * per:(si + 1) * per]
-                yield idx, valid
+                yield idx, valid, pad > 0
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
@@ -153,7 +160,7 @@ class Loader:
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                    for idx, valid in batches_of_indices():
+                    for idx, valid, has_pad in batches_of_indices():
                         if stop.is_set():
                             break
                         if self.num_workers > 1:
@@ -163,6 +170,9 @@ class Loader:
                         batch = _collate(samples)
                         batch["valid"] = valid
                         batch["num_valid"] = int(valid.sum())
+                        # 0-d ndarray (not a python bool) so array-only
+                        # batch filters and np.stack'd accum groups keep it
+                        batch["pad_global"] = np.asarray(has_pad)
                         if not put_or_stop(batch):
                             return
                 put_or_stop(None)

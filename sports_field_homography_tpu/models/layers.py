@@ -137,12 +137,16 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
-                 fuse_relu: bool = False) -> jnp.ndarray:
+                 fuse_relu: bool = False, valid=None) -> jnp.ndarray:
         """``fuse_relu``: return relu(bn(x)) instead of bn(x).  In train
         mode on supported shapes this runs the Pallas fused kernels
         (ops/bn_pallas: lane-packed, batch-padding-free — measured 8-12 ms
         -> ~1 ms per level-1 BN); all other paths compute relu here so the
-        contract is uniform."""
+        contract is uniform.
+
+        ``valid``: optional (B,) 0/1 mask — train-mode batch moments count
+        only valid samples (reference-exact tail batches; see
+        ``batch_norm_apply``)."""
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -153,11 +157,12 @@ class BatchNorm(nn.Module):
             x, scale, bias, ra_mean, ra_var, train=train,
             fuse_relu=fuse_relu, eps=self.eps, momentum=self.momentum,
             dtype=self.dtype, axis_name=self.axis_name, folded=self.folded,
-            initializing=self.is_initializing())
+            initializing=self.is_initializing(), valid=valid)
 
 
 def batch_norm_apply(x, scale, bias, ra_mean, ra_var, *, train, fuse_relu,
-                     eps, momentum, dtype, axis_name, folded, initializing):
+                     eps, momentum, dtype, axis_name, folded, initializing,
+                     valid=None):
     """The full ``BatchNorm`` body as a function of explicit params.
 
     ``ra_mean`` / ``ra_var`` are flax ``Variable`` handles (written in
@@ -165,6 +170,17 @@ def batch_norm_apply(x, scale, bias, ra_mean, ra_var, *, train, fuse_relu,
     and by modules that own BN params directly (``unet.DoubleConv``'s
     fused-kernel path needs param access, so it declares params itself and
     routes its unfused path through this same single source of truth).
+
+    ``valid``: optional (B,) 0/1 sample mask.  The loader pads tail
+    batches to the static shape with replicas; the reference's DataLoader
+    instead yields a SMALLER batch whose BN moments see only real samples
+    (``/root/reference/train.py:33-36``).  With ``valid`` given, train-mode
+    moments are valid-weighted: padded samples are zeroed out of the sums
+    and the means rescale by B_global/n_valid_global (psum'd across a
+    sync-BN axis), so padded-tail steps are reference-exact.  On full
+    batches the weights are all 1.0 and the rescale is exactly 1.0 —
+    bit-identical values to the unmasked computation (incl. the unbiased
+    n/(n-1) factor, which for counts < 2^24 divides identically in f32).
     """
     if folded and not train:
         # same f32 accumulate + downcast as the general path below, so
@@ -172,7 +188,8 @@ def batch_norm_apply(x, scale, bias, ra_mean, ra_var, *, train, fuse_relu,
         y = (x.astype(jnp.float32) + bias).astype(dtype)
         return nn.relu(y) if fuse_relu else y
 
-    if fuse_relu and train and axis_name is None and not initializing:
+    if fuse_relu and train and axis_name is None and not initializing \
+            and valid is None:
         from ..ops.bn_pallas import bn_relu_train, supports_fused_bn
         if supports_fused_bn(x.shape, x.dtype):
             y, mean, var = bn_relu_train(x, scale, bias, eps)
@@ -185,15 +202,35 @@ def batch_norm_apply(x, scale, bias, ra_mean, ra_var, *, train, fuse_relu,
 
     if train:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        if valid is None:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        else:
+            w = valid.astype(jnp.float32)[:, None, None, None]
+            mean = jnp.mean(xf * w, axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(xf) * w, axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if axis_name is not None and not initializing:
             mean = jax.lax.pmean(mean, axis_name)
             mean_sq = jax.lax.pmean(mean_sq, axis_name)
             n = n * jax.lax.psum(1, axis_name)
+        if valid is None:
+            n_f = None
+        else:
+            n_valid = jnp.sum(valid.astype(jnp.float32))
+            if axis_name is not None and not initializing:
+                n_valid = jax.lax.psum(n_valid, axis_name)
+            b_global = (x.shape[0] if axis_name is None or initializing
+                        else x.shape[0] * jax.lax.psum(1, axis_name))
+            rescale = b_global / n_valid    # exactly 1.0 on full batches
+            mean = mean * rescale
+            mean_sq = mean_sq * rescale
+            n_f = n_valid * (x.shape[1] * x.shape[2])
         var = mean_sq - jnp.square(mean)
-        unbiased = var * (n / max(n - 1, 1))
+        if n_f is None:
+            unbiased = var * (n / max(n - 1, 1))
+        else:
+            unbiased = var * (n_f / jnp.maximum(n_f - 1.0, 1.0))
         if not initializing:
             m = momentum
             ra_mean.value = (1.0 - m) * ra_mean.value + m * mean

@@ -177,13 +177,13 @@ class Reconstructor(nn.Module):
 
     # ---- submodule forwards -------------------------------------------------
 
-    def forward_unet(self, x: jnp.ndarray, train: bool):
+    def forward_unet(self, x: jnp.ndarray, train: bool, bn_valid=None):
         """UNet with in/out resolution fitting (reference :132-158)."""
         cfg = self.config
         uw, uh = cfg.unet_size
         if x.shape[2] != uw or x.shape[1] != uh:
             x = resize_bilinear(x, (uh, uw), align_corners=False)
-        logits, x_top, uv = self.unet(x, train)
+        logits, x_top, uv = self.unet(x, train, bn_valid)
         tw, th = cfg.target_size
         if logits.shape[2] != tw or logits.shape[1] != th:
             logits = resize_nearest(logits, (th, tw))
@@ -243,19 +243,25 @@ class Reconstructor(nn.Module):
 
     def __call__(self, x: jnp.ndarray, court_img: jnp.ndarray,
                  court_poi: jnp.ndarray, train: bool = False,
-                 warp_table=None) -> dict:
-        """Training/eval forward (reference ``forward``, :160-194)."""
+                 warp_table=None, bn_valid=None) -> dict:
+        """Training/eval forward (reference ``forward``, :160-194).
+
+        ``bn_valid``: optional (B,) 0/1 mask — train-mode BatchNorm batch
+        moments count only valid samples, so a replica-padded tail batch
+        normalizes exactly like the reference's smaller true tail batch
+        (``/root/reference/train.py:33-36``; see ``layers.batch_norm_apply``).
+        """
         cfg = self.config
         ret = {}
         logits = uv = None
         if cfg.use_unet:
-            logits, _, uv = self.forward_unet(x, train)
+            logits, _, uv = self.forward_unet(x, train, bn_valid)
             ret["logits"] = logits
             if uv is not None:
                 ret["uv"] = uv
         if cfg.use_resnet:
             y = self._stn_input(x, logits, uv)
-            theta = self.resnet_reg(y, train)
+            theta = self.resnet_reg(y, train, bn_valid)
             ret["theta"] = theta
             ret["poi"] = transform_poi(
                 theta, _match_batch(court_poi, theta.shape[0]))

@@ -34,23 +34,23 @@ class BasicBlock(nn.Module):
     expansion = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool, valid=None) -> jnp.ndarray:
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                       use_bias=False, dtype=self.dtype,
                       kernel_init=kaiming_normal_fanout, name="conv1")(x)
-        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(out, train)
+        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(out, train, valid=valid)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                       dtype=self.dtype, kernel_init=kaiming_normal_fanout,
                       name="conv2")(out)
-        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn2")(out, train)
+        out = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn2")(out, train, valid=valid)
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype,
                                kernel_init=kaiming_normal_fanout,
                                name="downsample_conv")(x)
-            identity = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="downsample_bn")(identity, train)
+            identity = BatchNorm(self.planes, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="downsample_bn")(identity, train, valid=valid)
         return nn.relu(out + identity)
 
 
@@ -67,30 +67,30 @@ class Bottleneck(nn.Module):
     expansion = 4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool, valid=None) -> jnp.ndarray:
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * self.expansion
         identity = x
         out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                       kernel_init=kaiming_normal_fanout, name="conv1")(x)
-        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(out, train)
+        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(out, train, valid=valid)
         out = nn.relu(out)
         # stride on the 3x3 (torchvision "v1.5" placement)
         out = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
                       feature_group_count=self.groups, use_bias=False,
                       dtype=self.dtype, kernel_init=kaiming_normal_fanout,
                       name="conv2")(out)
-        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn2")(out, train)
+        out = BatchNorm(width, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn2")(out, train, valid=valid)
         out = nn.relu(out)
         out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                       kernel_init=kaiming_normal_fanout, name="conv3")(out)
-        out = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn3")(out, train)
+        out = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn3")(out, train, valid=valid)
         if self.downsample:
             identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype,
                                kernel_init=kaiming_normal_fanout,
                                name="downsample_conv")(x)
-            identity = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="downsample_bn")(identity, train)
+            identity = BatchNorm(out_ch, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="downsample_bn")(identity, train, valid=valid)
         return nn.relu(out + identity)
 
 
@@ -113,11 +113,12 @@ class ResNetSTN(nn.Module):
     folded: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 valid=None) -> jnp.ndarray:
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     dtype=self.dtype, kernel_init=kaiming_normal_fanout,
                     name="conv0")(x)
-        x = BatchNorm(64, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(x, train)
+        x = BatchNorm(64, dtype=self.dtype, axis_name=self.axis_name, folded=self.folded, name="bn1")(x, train, valid=valid)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, padding=1)
 
@@ -134,12 +135,12 @@ class ResNetSTN(nn.Module):
                 if basic:
                     x = BasicBlock(planes, s, need_ds, dtype=self.dtype,
                                    axis_name=self.axis_name,
-                                   folded=self.folded, name=name)(x, train)
+                                   folded=self.folded, name=name)(x, train, valid)
                 else:
                     x = Bottleneck(planes, s, need_ds, self.groups,
                                    self.width_per_group, dtype=self.dtype,
                                    axis_name=self.axis_name,
-                                   folded=self.folded, name=name)(x, train)
+                                   folded=self.folded, name=name)(x, train, valid)
                 inplanes = planes * expansion
 
         x = jnp.mean(x, axis=(1, 2))            # AdaptiveAvgPool2d((1,1))

@@ -87,7 +87,7 @@ class DoubleConv(nn.Module):
     io: str = "native"
 
     @nn.compact
-    def __call__(self, x, train: bool) -> jnp.ndarray:
+    def __call__(self, x, train: bool, valid=None) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
         if isinstance(x, tuple):        # dual_packed: (skip_p, up_p)
             in_ch = sum(t.shape[-1] for t in x) // 2
@@ -108,7 +108,10 @@ class DoubleConv(nn.Module):
             xin = jax.tree.map(lambda t: t.astype(dt), x)
             if self.io != "native":
                 if train:
-                    assert self.axis_name is None, "packed io is gated"
+                    # packed io cannot fall back (tuple inputs); UNet gates
+                    # it off when a valid mask needs masked BN moments
+                    assert self.axis_name is None and valid is None, \
+                        "packed io is gated"
                     out, m1, v1, m2, v2 = double_conv_train(
                         xin, k1, cb1, s1, b1, k2, cb2, s2, b2,
                         _BN_EPS, None, self.io)
@@ -126,7 +129,9 @@ class DoubleConv(nn.Module):
                 return double_conv_eval(
                     x.astype(dt), k1, cb1, s1, b1, rm1.value, rv1.value,
                     k2, cb2, s2, b2, rm2.value, rv2.value, _BN_EPS)
-            if (train and self.axis_name is None
+            # the fused train kernel computes unmasked moments: with a
+            # valid mask (padded-tail masked BN) use the XLA path below
+            if (train and self.axis_name is None and valid is None
                     and supports_double_conv(x.shape, dt, mid,
                                              self.out_channels)):
                 out, m1, v1, m2, v2 = double_conv_train(
@@ -149,7 +154,7 @@ class DoubleConv(nn.Module):
                 h, scale, bias, rm, rv, train=train, fuse_relu=fuse,
                 eps=_BN_EPS, momentum=_BN_MOMENTUM, dtype=dt,
                 axis_name=self.axis_name, folded=self.folded,
-                initializing=self.is_initializing())
+                initializing=self.is_initializing(), valid=valid)
 
         x = bn(conv(x, k1, cb1), s1, b1, rm1, rv1)
         if not fuse:
@@ -183,12 +188,13 @@ class Down(nn.Module):
     in_packed: bool = False         # input is width-pair packed (level 1)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool, valid=None) -> jnp.ndarray:
         x = max_pool_packed(x) if self.in_packed else max_pool(x, 2, 2)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           axis_name=self.axis_name, folded=self.folded,
                           fused_bn=self.fused_bn,
-                          conv_kernel=self.conv_kernel, name="conv")(x, train)
+                          conv_kernel=self.conv_kernel,
+                          name="conv")(x, train, valid)
 
 
 class Deconv2x(nn.Module):
@@ -278,7 +284,8 @@ class Up(nn.Module):
                                          self.out_channels)
 
     @nn.compact
-    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool,
+                 valid=None) -> jnp.ndarray:
         in_channels = x1.shape[-1]
         if self.packed_io:
             assert not self.bilinear
@@ -287,7 +294,8 @@ class Up(nn.Module):
             return DoubleConv(self.out_channels, dtype=self.dtype,
                               axis_name=self.axis_name, folded=self.folded,
                               conv_kernel=self.conv_kernel,
-                              io="dual_packed", name="conv")((x2, x1p), train)
+                              io="dual_packed", name="conv")((x2, x1p), train,
+                                                             valid)
         if self.bilinear:
             x1 = upsample2x_bilinear(x1)
             mid = in_channels  # DoubleConv(mid=in_channels // 2) after concat
@@ -309,11 +317,12 @@ class Up(nn.Module):
                               dtype=self.dtype, axis_name=self.axis_name,
                               folded=self.folded, fused_bn=self.fused_bn,
                               conv_kernel=self.conv_kernel,
-                              name="conv")(x, train)
+                              name="conv")(x, train, valid)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           axis_name=self.axis_name, folded=self.folded,
                           fused_bn=self.fused_bn,
-                          conv_kernel=self.conv_kernel, name="conv")(x, train)
+                          conv_kernel=self.conv_kernel,
+                          name="conv")(x, train, valid)
 
 
 class OutConv(nn.Module):
@@ -394,24 +403,30 @@ class UNet(nn.Module):
         return supports_double_conv_eval((n, h, w, 64), self.dtype)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False, valid=None):
         factor = 2 if self.bilinear else 1
-        packed_l1 = self._packed_l1(x, train)
+        # the packed Pallas domain computes unmasked BN moments — with a
+        # valid mask (padded-tail masked BN) run the native XLA levels
+        packed_l1 = self._packed_l1(x, train) and not (train and
+                                                       valid is not None)
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
                       folded=self.folded, fused_bn=self.fused_bn,
                       conv_kernel=self.conv_kernel)
         x1 = DoubleConv(64, io="stem_packed" if packed_l1 else "native",
-                        name="inc", **common)(x, train)
+                        name="inc", **common)(x, train, valid)
         x2 = Down(128, name="down1", in_packed=packed_l1,
-                  **common)(x1, train)
-        x3 = Down(256, name="down2", **common)(x2, train)
-        x4 = Down(512, name="down3", **common)(x3, train)
-        x_top = Down(1024 // factor, name="down4", **common)(x4, train)
-        y = Up(512 // factor, self.bilinear, name="up1", **common)(x_top, x4, train)
-        y = Up(256 // factor, self.bilinear, name="up2", **common)(y, x3, train)
-        y = Up(128 // factor, self.bilinear, name="up3", **common)(y, x2, train)
+                  **common)(x1, train, valid)
+        x3 = Down(256, name="down2", **common)(x2, train, valid)
+        x4 = Down(512, name="down3", **common)(x3, train, valid)
+        x_top = Down(1024 // factor, name="down4", **common)(x4, train, valid)
+        y = Up(512 // factor, self.bilinear, name="up1", **common)(x_top, x4,
+                                                                   train, valid)
+        y = Up(256 // factor, self.bilinear, name="up2", **common)(y, x3,
+                                                                   train, valid)
+        y = Up(128 // factor, self.bilinear, name="up3", **common)(y, x2,
+                                                                   train, valid)
         y = Up(64, self.bilinear, name="up4", packed_io=packed_l1,
-               **common)(y, x1, train)
+               **common)(y, x1, train, valid)
         logits = OutConv(self.mask_classes, dtype=self.dtype,
                          in_packed=packed_l1, name="outc")(y)
         uv = (OutConv(2, dtype=self.dtype, in_packed=packed_l1,

@@ -87,7 +87,8 @@ def _elementwise(loss_name):
     return {"MSE": mse_map, "SmoothL1": smooth_l1_map}[loss_name]
 
 
-def make_loss_fn(model, loss_cfg: LossConfig, axis_name: Optional[str] = None):
+def make_loss_fn(model, loss_cfg: LossConfig, axis_name: Optional[str] = None,
+                 masked_bn: bool = False):
     """The multi-loss objective shared by the train step and the
     gradient-histogram probe (reference loss builders ``train.py:100-144``).
 
@@ -102,8 +103,19 @@ def make_loss_fn(model, loss_cfg: LossConfig, axis_name: Optional[str] = None):
     so the psum/pmean over data-parallel shards reproduces the global
     true-sample mean even when the padding is unevenly sharded.  With no
     padding the scale is exactly 1.0, so full batches are bit-identical to
-    the unmasked computation.  (Residual deviation: train-mode BatchNorm
-    statistics still see the replicas — see docs/PARITY.md.)
+    the unmasked computation.
+
+    ``masked_bn=True`` additionally valid-weights the train-mode BatchNorm
+    batch moments (``models/layers.batch_norm_apply``), making the padded
+    tail step fully reference-exact INCLUDING batch statistics.  It is a
+    separate compiled variant (not a runtime branch) because the weighted
+    moments change XLA's reduction codegen, which perturbs full batches by
+    ~1 ulp — ``train_net`` dispatches full batches to the unmasked program
+    (bit-identical to no-mask behavior by construction) and batches that
+    actually contain padding to this one.  The opt-in Pallas fused kernels
+    (``conv_kernel=pallas`` / ``fused_bn``) compute unmasked moments, so
+    under ``masked_bn`` they fall back to the XLA conv/BN path
+    (models/unet.py, models/layers.py).
     """
     num_classes = model.config.mask_classes
 
@@ -113,9 +125,12 @@ def make_loss_fn(model, loss_cfg: LossConfig, axis_name: Optional[str] = None):
         # uint8 frames ship 4x less over the host->device link; u8/255 on
         # device is bit-identical to the host-side /255 float path
         img = norm_img(batch["image"])
+        bn_valid = (batch["valid"] if masked_bn and "valid" in batch
+                    else None)
         preds, mutated = model.apply(variables, img, court_img,
                                      court_poi, train=True,
                                      warp_table=warp_table,
+                                     bn_valid=bn_valid,
                                      mutable=["batch_stats"])
         logs = {}
         total = jnp.zeros((), jnp.float32)
@@ -205,7 +220,8 @@ def make_loss_fn(model, loss_cfg: LossConfig, axis_name: Optional[str] = None):
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     axis_name: Optional[str] = None,
-                    with_grads: bool = False, grad_accum: int = 1):
+                    with_grads: bool = False, grad_accum: int = 1,
+                    masked_bn: bool = False):
     """Build the jitted (or shard_map-able) train step.
 
     Returns ``step(state, batch, court_img, court_poi) -> (state, logs)``
@@ -230,8 +246,13 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     hand-roll loss/K backward loops).  BN train-mode normalization uses
     per-micro-batch statistics (exactly K plain steps' behavior); running
     stats thread through the scan sequentially.  Logs are the K-mean.
+
+    ``masked_bn``: build the masked-BN-moment variant of the loss (see
+    ``make_loss_fn``) — used by ``train_net`` only for batches that
+    actually contain tail padding.
     """
-    loss_fn = make_loss_fn(model, loss_cfg, axis_name=axis_name)
+    loss_fn = make_loss_fn(model, loss_cfg, axis_name=axis_name,
+                           masked_bn=masked_bn)
 
     def step(state, batch, court_img, court_poi, warp_table=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -360,38 +381,47 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
             logger.info(f"interval warp unavailable for training ({e})")
     court_img = jax.device_put(court_img)
     court_poi = jax.device_put(court_poi)
-    # step_grads_fn: the with_grads variant used only on validation steps
-    # for TB grad histograms — one backward per step either way (the
-    # reference reads already-computed .grad, train.py:246-250)
-    step_grads_fn = None
     if mesh is not None:
-        from ..parallel.mesh import shard_train_step
         # cross-replica BN: per-shard batch stats pmean-reduced over 'data'
         dp_model = model.clone(bn_axis_name="data")
-        # with grad_accum the batch leaves are (K, B, ...): shard axis 1
-        step_fn = shard_train_step(
-            make_train_step(dp_model, optimizer, loss_cfg, axis_name="data",
-                            grad_accum=grad_accum),
-            mesh, batch_axis=0 if grad_accum == 1 else 1)
-        if writer is not None:
-            step_grads_fn = shard_train_step(
+
+    # Step variants, built lazily and cached by (with_grads, masked_bn):
+    #   * with_grads — used only on validation steps for TB grad histograms
+    #     (one backward per step either way; the reference reads the
+    #     already-computed .grad, train.py:246-250);
+    #   * masked_bn — reference-exact BN moments, dispatched ONLY to
+    #     batches that actually contain tail padding so the full-batch hot
+    #     path keeps its bit-identical unmasked program (make_loss_fn).
+    def _build_step(with_grads: bool, masked_bn: bool):
+        """One compiled step variant.  ``masked_bn`` variants (tail batches
+        with actual padding; reference-exact BN moments, make_loss_fn) only
+        compile when such a batch is first seen."""
+        if mesh is not None:
+            from ..parallel.mesh import shard_train_step
+            # with grad_accum the batch leaves are (K, B, ...): shard axis 1
+            return shard_train_step(
                 make_train_step(dp_model, optimizer, loss_cfg,
-                                axis_name="data", with_grads=True,
-                                grad_accum=grad_accum),
-                mesh, n_outputs=3, batch_axis=0 if grad_accum == 1 else 1)
-    else:
+                                axis_name="data", with_grads=with_grads,
+                                grad_accum=grad_accum, masked_bn=masked_bn),
+                mesh, n_outputs=3 if with_grads else 2,
+                batch_axis=0 if grad_accum == 1 else 1)
         # donate the input state: params/opt-state buffers are reused
         # in place instead of copied every step (~400 MB of f32 state);
         # the loop always rebinds `state` to the step's output, and the
         # SIGTERM holder stores that new (live) state
-        step_fn = jax.jit(make_train_step(model, optimizer, loss_cfg,
-                                          grad_accum=grad_accum),
-                          donate_argnums=(0,))
-        if writer is not None:
-            step_grads_fn = jax.jit(
-                make_train_step(model, optimizer, loss_cfg, with_grads=True,
-                                grad_accum=grad_accum),
-                donate_argnums=(0,))
+        return jax.jit(make_train_step(model, optimizer, loss_cfg,
+                                       with_grads=with_grads,
+                                       grad_accum=grad_accum,
+                                       masked_bn=masked_bn),
+                       donate_argnums=(0,))
+
+    step_cache = {}
+
+    def get_step(with_grads: bool, masked_bn: bool):
+        key = (with_grads, masked_bn)
+        if key not in step_cache:
+            step_cache[key] = _build_step(with_grads, masked_bn)
+        return step_cache[key]
 
     eval_step = make_eval_step(model, court_img, court_poi, target_size, True)
 
@@ -454,6 +484,16 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
         epoch_batches = (train_loader if grad_accum == 1 else
                          _accumulation_groups(train_loader, grad_accum))
         for batch in epoch_batches:
+            # padding presence decides the BN-moment program (see
+            # get_step); checked on the HOST-LOCAL batch.  pad_global (the
+            # loader's pre-shard flag) keeps multi-host processes agreeing
+            # even when the padding lands on only some hosts' shards.
+            pad_flag = batch.pop("pad_global", None)
+            if pad_flag is not None:
+                has_pad = bool(np.any(pad_flag))
+            else:
+                v = batch.get("valid")
+                has_pad = v is not None and not bool(np.all(np.asarray(v)))
             if mesh is not None and jax.process_count() > 1:
                 # multi-host: per-host loader shards -> global jax.Arrays
                 # over the global mesh (parallel/distributed.py)
@@ -462,16 +502,17 @@ reproj={loss_cfg.reproj_lambda} consist={loss_cfg.consist_lambda} uv={loss_cfg.u
                     batch, mesh, leading_accum=grad_accum > 1)
             # on validation steps run the with_grads step variant so the TB
             # grad histograms come from the SAME single backward that also
-            # updates the params (reference's post-backward .grad read,
-            # train.py:246-250)
+            # updates the params
             hist_grads = None
-            if (step_grads_fn is not None and val_loader is not None
-                    and (global_step + 1) % val_step_n == 0):
-                state, logs, hist_grads = step_grads_fn(
+            want_grads = (writer is not None and val_loader is not None
+                          and (global_step + 1) % val_step_n == 0)
+            step = get_step(want_grads, has_pad)
+            if want_grads:
+                state, logs, hist_grads = step(
                     state, batch, court_img, court_poi, warp_table)
             else:
-                state, logs = step_fn(state, batch, court_img, court_poi,
-                                      warp_table)
+                state, logs = step(state, batch, court_img, court_poi,
+                                   warp_table)
             global_step += 1
             steps_in_epoch += 1
             if state_holder is not None:   # expose for SIGTERM interrupt save

@@ -206,10 +206,13 @@ def get_training_args(ret_parser: bool = False, argv=None):
                              "semantics, incl. BatchNorm statistics; costs "
                              "one extra XLA compile for the tail shape). "
                              "'pad': pad to the static batch with replicas "
-                             "(losses mask them out; BN stats still see "
-                             "them). Default: exact on a single device, "
-                             "pad with --num_devices/multi-host/grad_accum "
-                             "(those need uniform shapes).")
+                             "— losses AND train-mode BatchNorm moments "
+                             "mask them out (reference-exact; the tail "
+                             "batch dispatches to a separate masked "
+                             "program, one extra compile). Default: exact "
+                             "on a single device, pad with "
+                             "--num_devices/multi-host/grad_accum (those "
+                             "need uniform shapes).")
 
     # Losses:
     parser.add_argument("--rec_loss", type=str, default="MSE")
