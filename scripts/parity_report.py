@@ -206,12 +206,20 @@ def main():
            for k in ("theta_max", "theta_nrm", "poi_px_max", "score_max")}
     # the north star is stated in identity-scale units; for trained
     # checkpoints whose raw theta scale has drifted, the unit-normalized
-    # diff is the comparable number (see the column comment above)
-    verdict = "PASS" if agg["theta_nrm"] <= 1e-3 else "FAIL"
+    # diff is the comparable number (see the column comment above).  PoI
+    # and score are the scale-invariant consumer-facing outputs, so they
+    # gate the verdict too (same bounds as
+    # tests/test_trained_checkpoint_parity.py: 1e-3 normalized — for PoI
+    # that is 1e-3 * warp width in pixels; measured values are ~0.2 px /
+    # ~2e-5, BASELINE.md round-2/4 tables)
+    bounds = {"theta_nrm": 1e-3, "poi_px_max": 1e-3 * w, "score_max": 1e-3}
+    failed = [k for k, b in bounds.items() if agg[k] > b]
+    verdict = "PASS" if not failed else f"FAIL ({', '.join(failed)})"
     lines += ["", f"**aggregate**: theta max-abs {agg['theta_max']:.2e}, "
-              f"unit-normalized {agg['theta_nrm']:.2e} "
-              f"(north star <= 1e-3: {verdict}), PoI px max "
-              f"{agg['poi_px_max']:.3f}, score max {agg['score_max']:.2e}"]
+              f"unit-normalized {agg['theta_nrm']:.2e}, PoI px max "
+              f"{agg['poi_px_max']:.3f} (<= {1e-3 * w:.2f}), score max "
+              f"{agg['score_max']:.2e} (<= 1e-3) -> "
+              f"north star <= 1e-3: {verdict}"]
     report = "\n".join(lines)
     print(report)
     if args.out:

@@ -65,12 +65,16 @@ class VideoReader:
 
     def __iter__(self):
         assert self.cap.isOpened()
-        for f_num in itertools.count():
-            ok, frame = self.cap.read()
-            if not ok:
-                break
-            yield f_num, frame
-        self.cap.release()
+        try:
+            for f_num in itertools.count():
+                ok, frame = self.cap.read()
+                if not ok:
+                    break
+                yield f_num, frame
+        finally:
+            # GeneratorExit-safe: zip() stopping early (preds/masks shorter
+            # than the video) must still release the capture promptly
+            self.cap.release()
 
 
 def _iter_pickle_stream(path):

@@ -219,6 +219,9 @@ def _multistep(pid: int, nprocs: int, port: int, steps: int = 4,
     ~7e-6 after 4 steps).  RMSprop cross-host loss agreement is covered
     by the one-step smokes above.
     """
+    # the resume leg restores the checkpoint written at step half-1;
+    # steps < 2 would make that step -1 (nothing saved, load fails)
+    assert steps >= 2, f"--steps must be >= 2, got {steps}"
     jax.config.update("jax_platforms", "cpu")
     initialize_distributed(coordinator=f"127.0.0.1:{port}",
                            num_hosts=nprocs, host_id=pid)

@@ -111,9 +111,17 @@ def test_two_process_multistep_ckpt_value_parity(tmp_path):
             for i in range(2)
         ]
         outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=900)
-            outs.append(out)
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=900)
+                outs.append(out)
+        finally:
+            # a TimeoutExpired above would otherwise leak the live
+            # 2-process gloo pair (and its port) for the rest of the run
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         if all(p.returncode == 0 for p in procs):
             break
         # loaded-host infra flake: compile-time skew can still blow gloo's

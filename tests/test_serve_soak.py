@@ -87,6 +87,8 @@ def test_sustained_mixed_load(server):
                 with lock:
                     errors.append(repr(e))
 
+    scrapes = [0]
+
     def scraper():
         while time.monotonic() < stop:
             for path in ("/healthz", "/stats", "/metrics"):
@@ -96,9 +98,16 @@ def test_sustained_mixed_load(server):
                     conn.request("GET", path)
                     resp = conn.getresponse()
                     resp.read()
-                    if resp.status != 200:
-                        with lock:
+                    with lock:
+                        if resp.status != 200:
                             errors.append((path, resp.status))
+                        else:
+                            scrapes[0] += 1
+                except Exception as e:  # noqa: BLE001 - collect, assert below
+                    # an uncaught raise would silently end the thread and
+                    # leave the soak "passing" without metric coverage
+                    with lock:
+                        errors.append((path, repr(e)))
                 finally:
                     conn.close()
             time.sleep(1.0)
@@ -118,6 +127,8 @@ def test_sustained_mixed_load(server):
     rss_end = _rss_mb()
     assert not errors, errors[:5]
     assert len(latencies) > 20, len(latencies)
+    # the scraper must actually have exercised the observability surface
+    assert scrapes[0] >= 3, scrapes[0]
     lat = np.sort(latencies)
     p50 = lat[len(lat) // 2]
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
