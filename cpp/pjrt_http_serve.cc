@@ -38,7 +38,16 @@
 //   pjrt_http_serve <artifact_dir> [<artifact_dir> ...]
 //       [--port 8800] [--host 0.0.0.0] [--plugin /opt/axon/libaxon_pjrt.so]
 //       [--opt key=value ...] [--max_delay_ms 8] [--channel_order bgr|rgb]
-//       [--no_warmup] [--timeout_s 120]
+//       [--no_warmup] [--timeout_s 120] [--idle_timeout_s 60]
+//       [--max_connections 256] [--echo]
+//
+// Hardening: every accepted connection gets SO_RCVTIMEO/SO_SNDTIMEO of
+// --idle_timeout_s (slowloris / stalled clients are disconnected instead
+// of parking a thread + fd forever) and live connections are capped at
+// --max_connections (excess connections get an immediate 503).  --echo
+// serves the full HTTP layer with inference stubbed out (no plugin /
+// artifacts needed) for the adversarial-client tests
+// (tests/test_http_hardening_cpp.py).
 //
 // For the axon TPU plugin pass the same --opt set as pjrt_serve.cc.
 // --port 0 binds an ephemeral port; the bound port is printed to stdout as
@@ -621,12 +630,16 @@ void SendResponse(int fd, int status, const std::string& content_type,
 // ---- service state ---------------------------------------------------------
 
 struct Service {
-  Batcher* batcher = nullptr;
+  Batcher* batcher = nullptr;  // null in --echo mode (HTTP layer only)
   int H = 0, W = 0;
   bool to_rgb = false;  // --channel_order rgb
   double timeout_s = 120.0;
   std::string plugin;
 };
+
+// Live connection count for the --max_connections cap: a slowloris or
+// connection flood must not grow handler threads/fds without bound.
+std::atomic<int> g_active_conns{0};
 
 // Decode + resize one request body into a model frame (the Python
 // server's do_POST preprocessing: cv2.imdecode -> optional BGR->RGB ->
@@ -667,11 +680,15 @@ void HandleConnection(int fd, const Service* svc) {
                        svc->plugin + "\"}",
                    ka);
     } else if (req.method == "GET" && req.path == "/stats") {
-      SendResponse(fd, 200, "application/json", svc->batcher->StatsJson(),
+      SendResponse(fd, 200, "application/json",
+                   svc->batcher ? svc->batcher->StatsJson()
+                                : std::string("{\"echo\": true}"),
                    ka);
     } else if (req.method == "GET" && req.path == "/metrics") {
       SendResponse(fd, 200, "text/plain; version=0.0.4; charset=utf-8",
-                   svc->batcher->PrometheusText(), ka);
+                   svc->batcher ? svc->batcher->PrometheusText()
+                                : std::string("sfh_echo 1\n"),
+                   ka);
     } else if (req.method == "POST" && req.path == "/predict") {
       std::vector<uint8_t> frame;
       std::string err;
@@ -679,6 +696,10 @@ void HandleConnection(int fd, const Service* svc) {
       if (code != 200) {
         SendResponse(fd, code, "application/json",
                      "{\"error\": \"" + err + "\"}", ka);
+      } else if (svc->batcher == nullptr) {
+        // --echo: exercise decode/resize + the HTTP layer, skip inference
+        SendResponse(fd, 200, "application/json",
+                     "{\"echo\": true, \"score\": 0.0}", ka);
       } else {
         std::future<Reply> fut = svc->batcher->Submit(std::move(frame));
         if (fut.wait_for(std::chrono::duration<double>(svc->timeout_s)) !=
@@ -699,6 +720,7 @@ void HandleConnection(int fd, const Service* svc) {
     if (!ka) break;
   }
   close(fd);
+  g_active_conns.fetch_sub(1);
 }
 
 // ---- shutdown plumbing -----------------------------------------------------
@@ -800,7 +822,12 @@ int main(int argc, char** argv) {
   std::vector<std::pair<std::string, std::string>> raw_opts;
   int port = 8800;
   double max_delay_ms = 8.0, timeout_s = 120.0;
+  // socket recv/send timeout: a stalled or slowloris client parks a
+  // handler thread for at most this long before the connection closes
+  double idle_timeout_s = 60.0;
+  int max_connections = 256;  // flood cap: beyond this, immediate 503
   bool warmup = true;
+  bool echo = false;  // HTTP layer only (no plugin/artifacts) — for tests
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     if (a == "--port" && i + 1 < argc) port = atoi(argv[++i]);
@@ -809,6 +836,11 @@ int main(int argc, char** argv) {
     else if (a == "--max_delay_ms" && i + 1 < argc)
       max_delay_ms = atof(argv[++i]);
     else if (a == "--timeout_s" && i + 1 < argc) timeout_s = atof(argv[++i]);
+    else if (a == "--idle_timeout_s" && i + 1 < argc)
+      idle_timeout_s = atof(argv[++i]);
+    else if (a == "--max_connections" && i + 1 < argc)
+      max_connections = atoi(argv[++i]);
+    else if (a == "--echo") echo = true;
     else if (a == "--channel_order" && i + 1 < argc)
       channel_order = argv[++i];
     else if (a == "--no_warmup") warmup = false;
@@ -827,12 +859,13 @@ int main(int argc, char** argv) {
       artifact_dirs.push_back(a);
     }
   }
-  if (artifact_dirs.empty()) {
+  if (artifact_dirs.empty() && !echo) {
     fprintf(stderr,
             "usage: pjrt_http_serve <artifact_dir> [<artifact_dir> ...]\n"
             "    [--port 8800] [--host 0.0.0.0] [--plugin so]\n"
             "    [--opt k=v ...] [--max_delay_ms 8]\n"
-            "    [--channel_order bgr|rgb] [--no_warmup] [--timeout_s 120]\n");
+            "    [--channel_order bgr|rgb] [--no_warmup] [--timeout_s 120]\n"
+            "    [--idle_timeout_s 60] [--max_connections 256] [--echo]\n");
     return 2;
   }
   if (channel_order != "bgr" && channel_order != "rgb") {
@@ -840,98 +873,110 @@ int main(int argc, char** argv) {
     return 2;
   }
 
-  // ---- artifacts -------------------------------------------------------
-  std::vector<Artifact> artifacts(artifact_dirs.size());
-  for (size_t i = 0; i < artifact_dirs.size(); ++i) {
-    if (!LoadArtifactFiles(artifact_dirs[i], &artifacts[i])) return 1;
-    if (i && !ArtifactsCompatible(artifacts[0], artifacts[i])) {
-      fprintf(stderr,
-              "pjrt_http_serve: %s is not the same program as %s at a "
-              "different batch (H/W or output names/dtypes differ)\n",
-              artifact_dirs[i].c_str(), artifact_dirs[0].c_str());
-      return 1;
-    }
-  }
-  std::sort(artifacts.begin(), artifacts.end(),
-            [](const Artifact& a, const Artifact& b) { return a.B < b.B; });
-  for (size_t i = 1; i < artifacts.size(); ++i)
-    if (artifacts[i].B == artifacts[i - 1].B) {
-      fprintf(stderr, "pjrt_http_serve: duplicate bucket batch %d\n",
-              artifacts[i].B);
-      return 1;
-    }
-
-  OutputIdx idx;
-  for (size_t i = 0; i < artifacts[0].outputs.size(); ++i) {
-    const std::string& n = artifacts[0].outputs[i].name;
-    if (n == "theta") idx.theta = (int)i;
-    else if (n == "consist_score") idx.score = (int)i;
-    else if (n == "poi") idx.poi = (int)i;
-    else if (n == "segm_mask") idx.segm = (int)i;
-    else if (n == "warp_mask") idx.warp = (int)i;
-  }
-  if (idx.theta < 0 && idx.score < 0 && idx.poi < 0 && idx.segm < 0 &&
-      idx.warp < 0) {
-    fprintf(stderr,
-            "pjrt_http_serve: artifact has none of theta/consist_score/poi/"
-            "segm_mask/warp_mask outputs — nothing to serve\n");
-    return 1;
-  }
-  for (int i : {idx.theta, idx.score, idx.poi})
-    if (i >= 0 && artifacts[0].outputs[i].dtype != "float32") {
-      fprintf(stderr, "pjrt_http_serve: output %s must be float32, got %s\n",
-              artifacts[0].outputs[i].name.c_str(),
-              artifacts[0].outputs[i].dtype.c_str());
-      return 1;
-    }
-  for (int i : {idx.segm, idx.warp})
-    if (i >= 0 && (artifacts[0].outputs[i].dtype != "uint8" ||
-                   artifacts[0].outputs[i].dims.size() != 3)) {
-      fprintf(stderr,
-              "pjrt_http_serve: output %s must be uint8 [B,h,w], got %s "
-              "rank %zu\n",
-              artifacts[0].outputs[i].name.c_str(),
-              artifacts[0].outputs[i].dtype.c_str(),
-              artifacts[0].outputs[i].dims.size());
-      return 1;
-    }
-
-  // ---- plugin / client / compile ---------------------------------------
-  if (!sfh::LoadPlugin(plugin)) return 1;
-  std::vector<std::string> opt_storage;
-  PJRT_Client* client = sfh::CreateClient(raw_opts, &opt_storage);
-  if (client == nullptr) return 1;
-  PJRT_Device* device = sfh::FirstDevice(client);
-  if (device == nullptr) return 1;
-  for (auto& a : artifacts) {
-    auto t0 = Clock::now();
-    a.exec = sfh::Compile(client, a.module_bc, a.compile_options);
-    if (a.exec == nullptr) return 1;
-    size_t n = 0;
-    if (!sfh::NumProgramOutputs(a.exec, &n)) return 1;
-    if (n != a.outputs.size()) {
-      fprintf(stderr,
-              "pjrt_http_serve: %s: io_spec.txt lists %zu outputs but the "
-              "program produces %zu — stale artifact?\n",
-              a.dir.c_str(), a.outputs.size(), n);
-      return 1;
-    }
-    auto t1 = Clock::now();
-    fprintf(stderr, "pjrt_http_serve: bucket %d compiled in %.1f s\n", a.B,
-            std::chrono::duration<double>(t1 - t0).count());
-  }
-
-  Batcher batcher(client, device, &artifacts, idx, max_delay_ms);
-  if (warmup && !batcher.Warmup()) return 1;
-  batcher.Start();
-
+  // ---- artifacts + plugin (skipped entirely in --echo mode) -----------
+  std::vector<Artifact> artifacts;
+  std::unique_ptr<Batcher> batcher;
+  PJRT_Client* client = nullptr;
   Service svc;
-  svc.batcher = &batcher;
-  svc.H = (int)artifacts[0].input.dims[1];
-  svc.W = (int)artifacts[0].input.dims[2];
   svc.to_rgb = channel_order == "rgb";
   svc.timeout_s = timeout_s;
-  svc.plugin = plugin;
+  svc.plugin = echo ? std::string("none (echo mode)") : plugin;
+  if (echo) {
+    // fixed echo frame shape: decode + resize still run, inference
+    // is replaced by an immediate reply (HTTP-layer tests)
+    svc.H = 36;
+    svc.W = 64;
+  } else {
+    // ---- artifacts -------------------------------------------------------
+    artifacts.resize(artifact_dirs.size());
+    for (size_t i = 0; i < artifact_dirs.size(); ++i) {
+      if (!LoadArtifactFiles(artifact_dirs[i], &artifacts[i])) return 1;
+      if (i && !ArtifactsCompatible(artifacts[0], artifacts[i])) {
+        fprintf(stderr,
+                "pjrt_http_serve: %s is not the same program as %s at a "
+                "different batch (H/W or output names/dtypes differ)\n",
+                artifact_dirs[i].c_str(), artifact_dirs[0].c_str());
+        return 1;
+      }
+    }
+    std::sort(artifacts.begin(), artifacts.end(),
+              [](const Artifact& a, const Artifact& b) { return a.B < b.B; });
+    for (size_t i = 1; i < artifacts.size(); ++i)
+      if (artifacts[i].B == artifacts[i - 1].B) {
+        fprintf(stderr, "pjrt_http_serve: duplicate bucket batch %d\n",
+                artifacts[i].B);
+        return 1;
+      }
+
+    OutputIdx idx;
+    for (size_t i = 0; i < artifacts[0].outputs.size(); ++i) {
+      const std::string& n = artifacts[0].outputs[i].name;
+      if (n == "theta") idx.theta = (int)i;
+      else if (n == "consist_score") idx.score = (int)i;
+      else if (n == "poi") idx.poi = (int)i;
+      else if (n == "segm_mask") idx.segm = (int)i;
+      else if (n == "warp_mask") idx.warp = (int)i;
+    }
+    if (idx.theta < 0 && idx.score < 0 && idx.poi < 0 && idx.segm < 0 &&
+        idx.warp < 0) {
+      fprintf(stderr,
+              "pjrt_http_serve: artifact has none of theta/consist_score/poi/"
+              "segm_mask/warp_mask outputs — nothing to serve\n");
+      return 1;
+    }
+    for (int i : {idx.theta, idx.score, idx.poi})
+      if (i >= 0 && artifacts[0].outputs[i].dtype != "float32") {
+        fprintf(stderr, "pjrt_http_serve: output %s must be float32, got %s\n",
+                artifacts[0].outputs[i].name.c_str(),
+                artifacts[0].outputs[i].dtype.c_str());
+        return 1;
+      }
+    for (int i : {idx.segm, idx.warp})
+      if (i >= 0 && (artifacts[0].outputs[i].dtype != "uint8" ||
+                     artifacts[0].outputs[i].dims.size() != 3)) {
+        fprintf(stderr,
+                "pjrt_http_serve: output %s must be uint8 [B,h,w], got %s "
+                "rank %zu\n",
+                artifacts[0].outputs[i].name.c_str(),
+                artifacts[0].outputs[i].dtype.c_str(),
+                artifacts[0].outputs[i].dims.size());
+        return 1;
+      }
+
+    // ---- plugin / client / compile ---------------------------------------
+    if (!sfh::LoadPlugin(plugin)) return 1;
+    std::vector<std::string> opt_storage;
+    client = sfh::CreateClient(raw_opts, &opt_storage);
+    if (client == nullptr) return 1;
+    PJRT_Device* device = sfh::FirstDevice(client);
+    if (device == nullptr) return 1;
+    for (auto& a : artifacts) {
+      auto t0 = Clock::now();
+      a.exec = sfh::Compile(client, a.module_bc, a.compile_options);
+      if (a.exec == nullptr) return 1;
+      size_t n = 0;
+      if (!sfh::NumProgramOutputs(a.exec, &n)) return 1;
+      if (n != a.outputs.size()) {
+        fprintf(stderr,
+                "pjrt_http_serve: %s: io_spec.txt lists %zu outputs but the "
+                "program produces %zu — stale artifact?\n",
+                a.dir.c_str(), a.outputs.size(), n);
+        return 1;
+      }
+      auto t1 = Clock::now();
+      fprintf(stderr, "pjrt_http_serve: bucket %d compiled in %.1f s\n", a.B,
+              std::chrono::duration<double>(t1 - t0).count());
+    }
+
+    batcher = std::make_unique<Batcher>(client, device, &artifacts, idx,
+                                      max_delay_ms);
+    if (warmup && !batcher->Warmup()) return 1;
+    batcher->Start();
+
+    svc.batcher = batcher.get();
+    svc.H = (int)artifacts[0].input.dims[1];
+    svc.W = (int)artifacts[0].input.dims[2];
+  }
 
   // ---- listen ----------------------------------------------------------
   int lfd = socket(AF_INET, SOCK_STREAM, 0);
@@ -967,9 +1012,16 @@ int main(int argc, char** argv) {
           "pjrt_http_serve: serving on http://%s:%d  (POST /predict, GET "
           "/healthz, GET /stats, GET /metrics); buckets:",
           host.c_str(), ntohs(addr.sin_port));
-  for (int b : batcher.buckets()) fprintf(stderr, " %d", b);
+  if (batcher) {
+    for (int b : batcher->buckets()) fprintf(stderr, " %d", b);
+  } else {
+    fprintf(stderr, " (echo mode)");
+  }
   fprintf(stderr, "\n");
 
+  timeval idle_tv;
+  idle_tv.tv_sec = (time_t)idle_timeout_s;
+  idle_tv.tv_usec = (suseconds_t)((idle_timeout_s - idle_tv.tv_sec) * 1e6);
   while (!g_stop.load()) {
     int cfd = accept(lfd, nullptr, nullptr);
     if (cfd < 0) {
@@ -977,11 +1029,23 @@ int main(int argc, char** argv) {
       continue;
     }
     setsockopt(cfd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof one);
+    // slowloris / stalled-client guard: recv and send on the connection
+    // block at most idle_timeout_s before the handler gives up and closes
+    setsockopt(cfd, SOL_SOCKET, SO_RCVTIMEO, &idle_tv, sizeof idle_tv);
+    setsockopt(cfd, SOL_SOCKET, SO_SNDTIMEO, &idle_tv, sizeof idle_tv);
+    if (g_active_conns.load() >= max_connections) {
+      // connection flood: shed load instead of growing threads unbounded
+      SendResponse(cfd, 503, "application/json",
+                   "{\"error\": \"connection limit reached\"}", false);
+      close(cfd);
+      continue;
+    }
+    g_active_conns.fetch_add(1);
     std::thread(HandleConnection, cfd, &svc).detach();
   }
 
   fprintf(stderr, "pjrt_http_serve: draining...\n");
-  batcher.Shutdown();
+  if (batcher) batcher->Shutdown();
   // grace for detached handler threads to flush their final responses
   // before the client/executables go away under them
   std::this_thread::sleep_for(std::chrono::milliseconds(300));
@@ -993,10 +1057,12 @@ int main(int argc, char** argv) {
     CheckError(Api()->PJRT_LoadedExecutable_Destroy(&ed),
                "Executable_Destroy");
   }
-  PJRT_Client_Destroy_Args cd;
-  memset(&cd, 0, sizeof cd);
-  cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
-  cd.client = client;
-  CheckError(Api()->PJRT_Client_Destroy(&cd), "Client_Destroy");
+  if (client != nullptr) {
+    PJRT_Client_Destroy_Args cd;
+    memset(&cd, 0, sizeof cd);
+    cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+    cd.client = client;
+    CheckError(Api()->PJRT_Client_Destroy(&cd), "Client_Destroy");
+  }
   return 0;
 }
