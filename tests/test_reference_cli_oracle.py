@@ -89,9 +89,8 @@ def workspace(tmp_path_factory):
     return dict(root=root, img_dir=img_dir, cp_dir=cp_dir)
 
 
-def _common_flags(workspace, dst):
-    return [
-        "--img_dir", str(workspace["img_dir"]),
+def _common_flags(workspace, dst, source=None):
+    return (source or ["--img_dir", str(workspace["img_dir"])]) + [
         "--dst_dir", str(dst),
         "--req_outputs", REQ,
         "--out_size", str(W), str(H),
@@ -151,6 +150,95 @@ def test_court_json_matches_reference(artifacts):
         p_our = np.asarray(ours[k]["poi"], np.float64)
         assert p_ref.shape == p_our.shape
         assert np.abs(p_ref - p_our).max() < 1e-3, k
+
+
+# --- video source ----------------------------------------------------------
+# The reference's SECOND input source (predict.py:224 -> VideoDataset,
+# utils/dataset.py:296-358): sequential cv2 decode, frame names
+# ``{video}/{frame:06d}`` (JSON keys keep only the frame part, masks go to
+# flat court/*/{frame}.png — predict.py:318-327), game name =
+# basename(dirname(video_path)) (predict.py:164).  Same artifact diff as
+# the img-dir oracle, driven end-to-end on an mp4 both CLIs decode with
+# cv2 (identical decoded frames, so tolerances match the img-dir case).
+
+N_VIDEO_FRAMES = 5
+
+
+@pytest.fixture(scope="module")
+def video_workspace(workspace, tmp_path_factory):
+    import cv2
+
+    vdir = tmp_path_factory.mktemp("videos") / "vgame"
+    vdir.mkdir()
+    video = str(vdir / "clip.mp4")
+    wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10, (W, H))
+    assert wr.isOpened(), "mp4v VideoWriter unavailable"
+    rng = np.random.RandomState(13)
+    for _ in range(N_VIDEO_FRAMES):
+        wr.write(rng.randint(0, 255, (H, W, 3), dtype=np.uint8))
+    wr.release()
+    return dict(workspace, video=video)
+
+
+@pytest.fixture(scope="module")
+def video_artifacts(video_workspace, tmp_path_factory):
+    source = ["--video_path", video_workspace["video"]]
+
+    ref_dst = tmp_path_factory.mktemp("ref_video_out")
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "ref_predict_runner.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, runner,
+         "--load", str(video_workspace["cp_dir"] / "CP_epoch1.pth")]
+        + _common_flags(video_workspace, ref_dst, source=source),
+        capture_output=True, text=True, env=env, timeout=900)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+
+    our_dst = tmp_path_factory.mktemp("our_video_out")
+    our_predict(
+        ["--load", str(video_workspace["cp_dir"] / "CP_epoch1.msgpack"),
+         "--compute_dtype", "float32"]
+        + _common_flags(video_workspace, our_dst, source=source))
+    return dict(ref=ref_dst, ours=our_dst)
+
+
+def test_video_court_json_matches_reference(video_artifacts):
+    ref = json.load(open(os.path.join(video_artifacts["ref"],
+                                      "vgame_court.json")))
+    ours = json.load(open(os.path.join(video_artifacts["ours"],
+                                       "vgame_court.json")))
+    assert set(ref) == set(ours)
+    assert ref["model"] == ours["model"] == "model_v1"
+    frames = sorted(k for k in ref if k != "model")
+    assert frames == [f"{i:06d}" for i in range(N_VIDEO_FRAMES)]
+    for k in frames:
+        t_ref = np.asarray(ref[k]["theta"], np.float64)
+        t_our = np.asarray(ours[k]["theta"], np.float64)
+        assert t_ref.shape == t_our.shape == (1, 3, 3)
+        assert np.abs(t_ref - t_our).max() < 1e-3, k
+        assert abs(ref[k]["score"] - ours[k]["score"]) < 1e-3, k
+        p_ref = np.asarray(ref[k]["poi"], np.float64)
+        p_our = np.asarray(ours[k]["poi"], np.float64)
+        assert p_ref.shape == p_our.shape
+        assert np.abs(p_ref - p_our).max() < 1e-3, k
+
+
+@pytest.mark.parametrize("sub,max_flips", [("court/segm_mask", 0.005),
+                                           ("court/warp_mask", 0.01)])
+def test_video_mask_pngs_match_reference(video_artifacts, sub, max_flips):
+    ref_dir = os.path.join(video_artifacts["ref"], sub)
+    our_dir = os.path.join(video_artifacts["ours"], sub)
+    ref_files = sorted(os.listdir(ref_dir))
+    assert ref_files == sorted(os.listdir(our_dir))
+    assert len(ref_files) == N_VIDEO_FRAMES
+    for f in ref_files:
+        a = np.asarray(Image.open(os.path.join(ref_dir, f)))
+        b = np.asarray(Image.open(os.path.join(our_dir, f)))
+        assert a.shape == b.shape, f
+        flips = float(np.mean(a != b))
+        assert flips < max_flips, (sub, f, flips)
 
 
 @pytest.mark.parametrize("sub,max_flips", [("court/segm_mask", 0.005),
