@@ -144,9 +144,12 @@ def main():
         "errors": counters["errors"],
         "rps": round(counters["done"] / elapsed, 1),
         "client_latency_ms": {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99)},
+        # .get: a minimal /stats (e.g. pjrt_http_serve --echo) has no
+        # batcher counters — don't crash the summary over it
         "batcher": {"mean_occupancy": (round(stats["mean_occupancy"], 1)
-                                       if stats["mean_occupancy"] else None),
-                    "batch_hist": stats["batch_hist"]},
+                                       if stats.get("mean_occupancy")
+                                       else None),
+                    "batch_hist": stats.get("batch_hist", {})},
         "req_outputs": args.req_outputs,
         "max_batch": args.max_batch,
     }

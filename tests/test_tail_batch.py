@@ -221,6 +221,7 @@ def test_masked_padded_batch_matches_true_tail_real_model():
                                    err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.full
 def test_masked_bn_uneven_dp_shards_real_model():
     """Sync-BN + masked moments over a 4-shard mesh with the padding
     landing unevenly (one shard all-padding): losses and BN running stats
@@ -291,6 +292,7 @@ def test_all_valid_is_bit_identical_to_unmasked():
         assert float(logs1[k]) == float(logs2[k]), k
 
 
+@pytest.mark.full
 def test_full_batch_program_variants_agree_real_model():
     """Real Reconstructor, padding-free batch: the three program variants
     (no valid key; valid=all-ones under the dispatched masked_bn=False
@@ -400,6 +402,72 @@ def test_masked_padding_uneven_across_dp_shards():
     for a, b in zip(jax.tree.leaves(g_true), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.full
+def test_grad_accum_masked_bn_tail_micro_batch():
+    """Gradient accumulation (K=2) with the tail padding inside the LAST
+    micro-batch: the masked_bn step's gradients and threaded BN running
+    stats equal manual accumulation over [full micro, true ragged micro]
+    — the padded micro behaves as its true smaller self end to end."""
+    from sports_field_homography_tpu.train.loop import make_train_step
+    from sports_field_homography_tpu.train.optim import make_optimizer
+    from sports_field_homography_tpu.train.loop import init_train_state
+
+    rng = np.random.RandomState(9)
+    model, variables, ci, cp = _recon_model(rng, uv=False)
+    cfg = LossConfig(seg_loss="CE", rec_loss="MSE", reproj_loss="RRMSE",
+                     consist_loss="CE", batch_size=4)
+    B = 4
+    micro1 = _recon_batch(rng, B)
+    true2 = _recon_batch(rng, 2)
+    micro2 = _pad(true2, 2, B)
+    micro1 = dict(micro1, valid=np.ones(B, bool))
+    for b in (micro1, micro2):
+        b.pop("uv", None)
+    super_batch = {k: np.stack([micro1[k], micro2[k]]) for k in micro1}
+
+    optimizer = make_optimizer("SGD", 1e-3, 0.0, grad_clip_value=0.1)
+    step = jax.jit(make_train_step(model, optimizer, cfg, grad_accum=2,
+                                   masked_bn=True, with_grads=True))
+    state = init_train_state(variables, optimizer)
+    new_state, logs, grads = jax.device_get(
+        step(state, super_batch, ci, cp, None))
+
+    # manual accumulation with the TRUE ragged second micro-batch,
+    # BN stats threaded sequentially like the scan does
+    loss_fn = make_loss_fn(model, cfg, masked_bn=True)
+
+    def grad_of(bs, batch):
+        def total(p):
+            t, (nbs, lg) = loss_fn(p, bs, batch, jnp.zeros((), jnp.int32),
+                                   ci, cp, None)
+            return t, nbs
+        (_, nbs), g = jax.jit(jax.value_and_grad(total, has_aux=True))(
+            variables["params"])
+        return jax.device_get(g), jax.device_get(nbs)
+
+    g1, bs1 = grad_of(variables["batch_stats"], micro1)
+    g2, bs2 = grad_of(bs1, true2)
+    g_ref = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(grads)[0]):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        if np.linalg.norm(a) < 1e-6:    # mathematically-zero leaves
+            assert np.linalg.norm(b) < 1e-6
+            continue
+        rel = float(np.linalg.norm(a - b)) / float(np.linalg.norm(a))
+        assert rel < 1e-2, (jax.tree_util.keystr(path), rel)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(bs2)[0],
+            jax.tree_util.tree_flatten_with_path(
+                new_state["batch_stats"])[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
 
 
 def test_loader_pad_global_flag():
