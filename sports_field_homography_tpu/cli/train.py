@@ -44,8 +44,10 @@ def prepare_dataloader(img_dir, mask_dir, anno_dir, anno_keys, val_names,
     ``tail``: 'exact' yields the true smaller tail train batch (reference
     DataLoader semantics, ``train.py:33-36`` — correct losses AND correct
     train-mode BN statistics; one extra XLA program for the tail shape);
-    'pad' keeps the static padded batch (the losses mask the replicas —
-    train/loop.make_loss_fn — but BN batch stats still include them)."""
+    'pad' keeps the static padded batch — the losses AND the train-mode
+    BN batch moments mask the replicas (train/loop.make_loss_fn with
+    masked_bn; the tail dispatches to a separate compiled program), so
+    both modes are reference-exact."""
     train_ids, val_ids = split_on_train_val(img_dir, val_names,
                                             only_ncaam=only_ncaam)
     train_u8 = bool(uint8_inputs) if uint8_inputs is not None else aug is None
@@ -169,7 +171,8 @@ def main(argv=None):
     if tail == "exact" and needs_pad:
         logger.info("NOTE: --tail exact is incompatible with sharded/"
                     "accumulated training (uniform shapes required); "
-                    "using 'pad' (losses mask the replicas).")
+                    "using 'pad' (losses and BN moments mask the "
+                    "replicas).")
         tail = "pad"
 
     train_loader, n_train, val_loader, n_val = prepare_dataloader(
