@@ -98,7 +98,7 @@ def test_two_process_multistep_ckpt_value_parity(tmp_path):
     tolerance (only psum/pmean reduction order differs; SGD trajectory —
     see the _multistep docstring for why adaptive optimizers cannot be
     compared across reduction orders)."""
-    for attempt in range(2):
+    for attempt in range(3):
         port = _free_port()
         procs = [
             subprocess.Popen(
@@ -126,10 +126,11 @@ def test_two_process_multistep_ckpt_value_parity(tmp_path):
             break
         # loaded-host infra flake: compile-time skew can still blow gloo's
         # 30 s context-init window despite the in-process warmup — retry
-        # the pair once before declaring failure
+        # the pair (twice: under a saturated host even back-to-back
+        # attempts can both blow the window) before declaring failure
         gloo_flake = any("Gloo context initialization failed" in o
                          for o in outs)
-        assert attempt == 0 and gloo_flake, outs[0][-2000:] + outs[1][-2000:]
+        assert attempt < 2 and gloo_flake, outs[0][-2000:] + outs[1][-2000:]
     rows = []
     for out in outs:
         m = re.search(r"DIST_MULTISTEP pid=\d digest=([0-9a-f]+) "
