@@ -547,13 +547,18 @@ struct HttpRequest {
 
 // Parse one request from a buffered fd reader.  ``buf`` carries bytes read
 // past the previous request (pipelining/keep-alive).  Returns false on
-// EOF/parse error/oversized body.
+// EOF/parse error/oversized body, or when ``deadline`` passes — the
+// OVERALL per-request read deadline: SO_RCVTIMEO alone only bounds each
+// recv, so a drip-feeding client (1 byte per idle_timeout) could
+// otherwise hold a handler slot indefinitely.
 bool ReadHttpRequest(int fd, std::string* buf, HttpRequest* req,
+                     Clock::time_point deadline,
                      size_t max_body = 32u << 20) {
   // read until the header terminator
   size_t hdr_end;
   while ((hdr_end = buf->find("\r\n\r\n")) == std::string::npos) {
     if (buf->size() > 65536) return false;
+    if (Clock::now() >= deadline) return false;
     char tmp[4096];
     ssize_t n = recv(fd, tmp, sizeof tmp, 0);
     if (n <= 0) return false;
@@ -591,6 +596,7 @@ bool ReadHttpRequest(int fd, std::string* buf, HttpRequest* req,
   }
   if (req->content_length > max_body) return false;
   while (buf->size() < req->content_length) {
+    if (Clock::now() >= deadline) return false;
     char tmp[65536];
     size_t want = std::min(sizeof tmp,
                            req->content_length - buf->size());
@@ -634,6 +640,7 @@ struct Service {
   int H = 0, W = 0;
   bool to_rgb = false;  // --channel_order rgb
   double timeout_s = 120.0;
+  double idle_timeout_s = 60.0;  // per-recv AND whole-request-read bound
   std::string plugin;
 };
 
@@ -672,7 +679,9 @@ void HandleConnection(int fd, const Service* svc) {
   std::string buf;
   for (;;) {
     HttpRequest req;
-    if (!ReadHttpRequest(fd, &buf, &req)) break;
+    auto deadline = Clock::now() + std::chrono::duration_cast<Clock::duration>(
+        std::chrono::duration<double>(svc->idle_timeout_s));
+    if (!ReadHttpRequest(fd, &buf, &req, deadline)) break;
     bool ka = req.keep_alive;
     if (req.method == "GET" && req.path == "/healthz") {
       SendResponse(fd, 200, "application/json",
@@ -766,17 +775,18 @@ int SelfTest() {
       shutdown(sp[1], SHUT_WR);
     });
     HttpRequest r1;
-    bool ok1 = ReadHttpRequest(sp[0], &buf, &r1);
+    auto dl = Clock::now() + std::chrono::seconds(30);
+    bool ok1 = ReadHttpRequest(sp[0], &buf, &r1, dl);
     writer.join();
     if (!ok1 || r1.method != "POST" || r1.path != "/predict" ||
         r1.body != "hello" || !r1.keep_alive)
       return 22;
     HttpRequest r2;
-    if (!ReadHttpRequest(sp[0], &buf, &r2) || r2.method != "GET" ||
+    if (!ReadHttpRequest(sp[0], &buf, &r2, dl) || r2.method != "GET" ||
         r2.path != "/stats" || r2.keep_alive || !r2.body.empty())
       return 23;
     HttpRequest r3;
-    if (ReadHttpRequest(sp[0], &buf, &r3)) return 24;  // EOF
+    if (ReadHttpRequest(sp[0], &buf, &r3, dl)) return 24;  // EOF
     close(sp[0]);
     close(sp[1]);
   }
@@ -791,7 +801,9 @@ int SelfTest() {
     shutdown(sp[1], SHUT_WR);
     std::string buf;
     HttpRequest r;
-    if (ReadHttpRequest(sp[0], &buf, &r, /*max_body=*/64)) return 32;
+    if (ReadHttpRequest(sp[0], &buf, &r,
+                        Clock::now() + std::chrono::seconds(30),
+                        /*max_body=*/64)) return 32;
     close(sp[0]);
     close(sp[1]);
   }
@@ -880,6 +892,7 @@ int main(int argc, char** argv) {
   Service svc;
   svc.to_rgb = channel_order == "rgb";
   svc.timeout_s = timeout_s;
+  svc.idle_timeout_s = idle_timeout_s;
   svc.plugin = echo ? std::string("none (echo mode)") : plugin;
   if (echo) {
     // fixed echo frame shape: decode + resize still run, inference
@@ -1034,9 +1047,18 @@ int main(int argc, char** argv) {
     setsockopt(cfd, SOL_SOCKET, SO_RCVTIMEO, &idle_tv, sizeof idle_tv);
     setsockopt(cfd, SOL_SOCKET, SO_SNDTIMEO, &idle_tv, sizeof idle_tv);
     if (g_active_conns.load() >= max_connections) {
-      // connection flood: shed load instead of growing threads unbounded
+      // connection flood: shed load instead of growing threads unbounded.
+      // Half-close + bounded drain before close: close() with unread
+      // request bytes in the receive buffer emits RST, which can discard
+      // the in-flight 503 — draining lets the client actually read it.
       SendResponse(cfd, 503, "application/json",
                    "{\"error\": \"connection limit reached\"}", false);
+      shutdown(cfd, SHUT_WR);
+      timeval drain_tv{0, 200000};  // 200 ms cap on the courtesy drain
+      setsockopt(cfd, SOL_SOCKET, SO_RCVTIMEO, &drain_tv, sizeof drain_tv);
+      char sink[4096];
+      for (int i = 0; i < 16 && recv(cfd, sink, sizeof sink, 0) > 0; ++i) {
+      }
       close(cfd);
       continue;
     }

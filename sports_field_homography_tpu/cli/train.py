@@ -331,8 +331,8 @@ def main(argv=None):
         # run restores the train state but CANNOT replay the interrupted
         # epoch's order, so interrupted+resumed is not bit-identical to an
         # uninterrupted run (docs/PARITY.md); warn instead of surprising
-        logger.info(
-            "WARNING: resuming a --data_seed -1 run: the data schedule is "
+        logger.warning(
+            "resuming a --data_seed -1 run: the data schedule is "
             "nondeterministic, so this resume continues with a FRESH "
             "shuffle order (not bit-exact vs an uninterrupted run). Use a "
             "seeded --data_seed for exact mid-epoch resume.")

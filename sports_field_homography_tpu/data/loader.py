@@ -131,8 +131,11 @@ class Loader:
                 if len(idx) < bs and self.drop_last:
                     return
                 valid = np.ones(len(idx), bool)
-                pad = bs - len(idx)
-                if pad and self.pad_last:
+                # padding exists only when pad_last actually pads: with
+                # pad_last=False the tail batch is RAGGED but unpadded and
+                # must keep dispatching to the unmasked program
+                pad = (bs - len(idx)) if self.pad_last else 0
+                if pad:
                     idx = np.concatenate([idx, np.full(pad, idx[-1])])
                     valid = np.concatenate([valid, np.zeros(pad, bool)])
                 if self.shard is not None:

@@ -16,7 +16,6 @@ Covered:
 """
 import http.client
 import os
-import shutil
 import socket
 import subprocess
 import threading
@@ -25,48 +24,22 @@ import time
 import numpy as np
 import pytest
 
+from cpp_build import build, have_build_deps, rss_mb
+
 pytestmark = pytest.mark.full
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BINARY = os.path.join(REPO, "cpp", "pjrt_http_serve")
-
-_have_opencv_dev = os.path.isdir("/usr/include/opencv4")
-
-
-def _have_header():
-    try:
-        import tensorflow
-        return os.path.exists(os.path.join(
-            os.path.dirname(tensorflow.__file__), "include", "tensorflow",
-            "compiler", "xla", "pjrt", "c", "pjrt_c_api.h"))
-    except Exception:
-        return False
-
-
 requires_build = pytest.mark.skipif(
-    not (shutil.which("g++") and _have_opencv_dev and _have_header()),
+    not have_build_deps(),
     reason="needs g++, OpenCV dev files, and the PJRT C API header")
-
-
-def _build():
-    sources = [os.path.join(REPO, "cpp", "pjrt_http_serve.cc"),
-               os.path.join(REPO, "cpp", "pjrt_common.h")]
-    if (not os.path.exists(BINARY)
-            or any(os.path.getmtime(BINARY) < os.path.getmtime(s)
-                   for s in sources)):
-        subprocess.run(
-            ["bash", os.path.join(REPO, "cpp", "build.sh"),
-             "pjrt_http_serve"],
-            check=True, capture_output=True, text=True)
 
 
 class EchoServer:
     """pjrt_http_serve --echo on an ephemeral port."""
 
     def __init__(self, *extra_flags):
-        _build()
+        binary = build("pjrt_http_serve")
         self.proc = subprocess.Popen(
-            [BINARY, "--echo", "--port", "0", "--host", "127.0.0.1"]
+            [binary, "--echo", "--port", "0", "--host", "127.0.0.1"]
             + list(extra_flags),
             stdout=subprocess.PIPE, text=True)
         self.port = None
@@ -78,7 +51,12 @@ class EchoServer:
             if "listening on port" in line:
                 self.port = int(line.rsplit(" ", 1)[1])
                 break
-        assert self.port, "echo server never announced its port"
+        if not self.port:
+            # don't leak the spawned server when startup fails — __exit__
+            # never runs if __init__ raises
+            self.proc.kill()
+            self.proc.wait()
+            raise AssertionError("echo server never announced its port")
 
     def __enter__(self):
         return self
@@ -141,6 +119,38 @@ def test_idle_connection_times_out_and_server_survives():
         # the server is still healthy and serving
         status, body = srv.get("/healthz")
         assert status == 200 and b'"ok": true' in body
+
+
+@requires_build
+def test_drip_feed_bounded_by_request_deadline():
+    """A drip-feeding client (1 byte per second, each recv succeeding so
+    SO_RCVTIMEO alone never fires) is still disconnected once the OVERALL
+    per-request read deadline (idle_timeout_s) passes."""
+    with EchoServer("--idle_timeout_s", "3") as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.settimeout(1.0)
+        t0 = time.monotonic()
+        closed_after = None
+        for i in range(30):                  # up to 30 s of dripping
+            try:
+                s.sendall(b"G")              # one byte of "request" per tick
+            except (BrokenPipeError, ConnectionResetError):
+                closed_after = time.monotonic() - t0
+                break
+            try:
+                if s.recv(64) == b"":        # server closed -> EOF
+                    closed_after = time.monotonic() - t0
+                    break
+            except socket.timeout:
+                pass                         # still open; keep dripping
+            except ConnectionResetError:
+                closed_after = time.monotonic() - t0
+                break
+        s.close()
+        assert closed_after is not None, "drip-feed held the slot >30 s"
+        assert closed_after < 15, closed_after
+        status, _ = srv.get("/healthz")
+        assert status == 200
 
 
 @requires_build
@@ -218,14 +228,6 @@ def test_oversized_and_truncated_bodies():
         assert status == 200 and b'"ok": true' in body
 
 
-def _rss_mb(pid):
-    with open(f"/proc/{pid}/status") as f:
-        for line in f:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
-
-
 @requires_build
 def test_echo_soak_concurrent_clients_and_scraper():
     """20 s of concurrent POST /predict (real decode+resize) + metrics
@@ -236,7 +238,7 @@ def test_echo_soak_concurrent_clients_and_scraper():
         for _ in range(3):
             status, _ = srv.post_predict(png)
             assert status == 200
-        rss_start = _rss_mb(srv.proc.pid)
+        rss_start = rss_mb(srv.proc.pid)
 
         stop = time.monotonic() + 20
         errors, count = [], [0]
@@ -277,7 +279,7 @@ def test_echo_soak_concurrent_clients_and_scraper():
         for t in threads:
             t.join()
 
-        rss_end = _rss_mb(srv.proc.pid)
+        rss_end = rss_mb(srv.proc.pid)
         assert not errors, errors[:5]
         assert count[0] > 50, count[0]
         assert rss_end - rss_start < 100, (rss_start, rss_end)

@@ -15,7 +15,6 @@ import base64
 import http.client
 import json
 import os
-import shutil
 import signal
 import subprocess
 import threading
@@ -30,41 +29,18 @@ pytestmark = pytest.mark.full
 W, H = 64, 36
 COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
 COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
-PLUGIN = "/opt/axon/libaxon_pjrt.so"
+from cpp_build import PLUGIN, build, have_build_deps, have_plugin
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BINARY = os.path.join(REPO, "cpp", "pjrt_http_serve")
-SOURCE = os.path.join(REPO, "cpp", "pjrt_http_serve.cc")
-
-_have_opencv_dev = os.path.isdir("/usr/include/opencv4")
-
-
-def _have_header():
-    try:
-        import tensorflow
-        return os.path.exists(os.path.join(
-            os.path.dirname(tensorflow.__file__), "include", "tensorflow",
-            "compiler", "xla", "pjrt", "c", "pjrt_c_api.h"))
-    except Exception:
-        return False
-
-
-def _build():
-    sources = [SOURCE, os.path.join(REPO, "cpp", "pjrt_common.h")]
-    if (not os.path.exists(BINARY)
-            or any(os.path.getmtime(BINARY) < os.path.getmtime(s)
-                   for s in sources)):
-        subprocess.run(
-            ["bash", os.path.join(REPO, "cpp", "build.sh"),
-             "pjrt_http_serve"],
-            check=True, capture_output=True, text=True)
 
 
 @pytest.mark.skipif(
-    not (shutil.which("g++") and _have_opencv_dev and _have_header()),
+    not have_build_deps(),
     reason="needs g++, OpenCV dev files, and the PJRT C API header")
 def test_selftest():
     """HTTP parsing / base64 / JSON-float units baked into the binary."""
-    _build()
+    build("pjrt_http_serve")
     r = subprocess.run([BINARY, "--selftest"], capture_output=True,
                        text=True, timeout=120)
     assert r.returncode == 0, r.stderr[-2000:]
@@ -102,8 +78,7 @@ def _post_predict(conn_addr, body, timeout=120):
 
 
 @pytest.mark.skipif(
-    not (os.path.exists(PLUGIN) and shutil.which("g++")
-         and _have_opencv_dev and _have_header()),
+    not (have_plugin() and have_build_deps()),
     reason="needs the axon PJRT plugin, g++, OpenCV dev, PJRT header")
 def test_http_server_serves_tpu_artifact(tmp_path):
     import cv2
@@ -112,7 +87,7 @@ def test_http_server_serves_tpu_artifact(tmp_path):
     from sports_field_homography_tpu.compat.serving import (
         export_predict, load_serving, save_serving)
 
-    _build()
+    build("pjrt_http_serve")
     bundle = build_model(_Args, warp_with_nearest=True)
     keep = ("consist_score", "theta", "poi", "segm_mask")
     # two TPU buckets (batch 1 and 2) served by C++, one CPU batch-2

@@ -18,7 +18,6 @@ unavailable.
 """
 import json
 import os
-import shutil
 import subprocess
 import uuid
 
@@ -34,27 +33,16 @@ from sports_field_homography_tpu.compat.serving import (
 W, H = 64, 36
 COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
 COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
-PLUGIN = "/opt/axon/libaxon_pjrt.so"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-
-def _have_header():
-    try:
-        import tensorflow
-        return os.path.exists(os.path.join(
-            os.path.dirname(tensorflow.__file__), "include", "tensorflow",
-            "compiler", "xla", "pjrt", "c", "pjrt_c_api.h"))
-    except Exception:
-        return False
-
+from cpp_build import PLUGIN, have_build_deps, have_plugin  # noqa: E402
 
 pytestmark = [pytest.mark.full, pytest.mark.skipif(
-    not (shutil.which("g++") and _have_header()
-         and os.path.isdir("/usr/include/opencv4")),
+    not have_build_deps(),
     reason="needs g++, OpenCV dev files, and the PJRT C API header")]
 
 requires_plugin = pytest.mark.skipif(
-    not os.path.exists(PLUGIN), reason="needs the axon PJRT plugin")
+    not have_plugin(), reason="needs the axon PJRT plugin")
 
 
 class _Args:
@@ -68,17 +56,8 @@ class _Args:
 
 
 def _ensure_binary():
-    binary = os.path.join(REPO, "cpp", "pjrt_predict")
-    sources = [os.path.join(REPO, "cpp", f)
-               for f in ("pjrt_predict.cc", "pjrt_common.h")]
-    if (not os.path.exists(binary)
-            or any(os.path.getmtime(binary) < os.path.getmtime(s)
-                   for s in sources)):
-        subprocess.run(["bash", os.path.join(REPO, "cpp", "build.sh"),
-                        "pjrt_predict"],
-                       check=True, capture_output=True, text=True,
-                       timeout=600)
-    return binary
+    from cpp_build import build
+    return build("pjrt_predict")
 
 
 def _export_artifacts(tmp_path):

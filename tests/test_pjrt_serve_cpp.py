@@ -9,7 +9,6 @@ and asserts the outputs match a CPU-artifact reference.
 Skipped when the plugin, g++, or the PJRT header is unavailable.
 """
 import os
-import shutil
 import subprocess
 import uuid
 
@@ -25,22 +24,12 @@ from sports_field_homography_tpu.compat.serving import (
 W, H = 64, 36
 COURT_IMG = "/root/repo/assets/mask_ncaa_v4_nc4_m_onehot.png"
 COURT_POI = "/root/repo/assets/template_ncaa_v4_points.json"
-PLUGIN = "/opt/axon/libaxon_pjrt.so"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-
-def _have_header():
-    try:
-        import tensorflow
-        return os.path.exists(os.path.join(
-            os.path.dirname(tensorflow.__file__), "include", "tensorflow",
-            "compiler", "xla", "pjrt", "c", "pjrt_c_api.h"))
-    except Exception:
-        return False
-
+from cpp_build import PLUGIN, have_build_deps, have_plugin  # noqa: E402
 
 pytestmark = [pytest.mark.full, pytest.mark.skipif(
-    not (os.path.exists(PLUGIN) and shutil.which("g++") and _have_header()),
+    not (have_plugin() and have_build_deps(opencv=False)),
     reason="needs the axon PJRT plugin, g++, and the PJRT C API header")]
 
 
@@ -55,15 +44,8 @@ class _Args:
 
 
 def test_cpp_runtime_serves_tpu_artifact(tmp_path):
-    binary = os.path.join(REPO, "cpp", "pjrt_serve")
-    sources = [os.path.join(REPO, "cpp", f)
-               for f in ("pjrt_serve.cc", "pjrt_common.h")]
-    if (not os.path.exists(binary)
-            or any(os.path.getmtime(binary) < os.path.getmtime(s)
-                   for s in sources)):
-        subprocess.run(["bash", os.path.join(REPO, "cpp",
-                                             "build_pjrt_serve.sh")],
-                       check=True, capture_output=True, text=True)
+    from cpp_build import build
+    binary = build("pjrt_serve")
 
     bundle = build_model(_Args, warp_with_nearest=True)
     keep = ("consist_score", "theta")

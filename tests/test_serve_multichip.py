@@ -65,14 +65,7 @@ def test_multichip_matches_single_chip(mc_server):
     fn = jit_predict_fn(bundle, consistency=True, project_poi=False,
                         keep=("theta", "consist_score"))
     direct = jax.device_get(fn(bundle.variables, np.stack(imgs)))
-
-    def unit(t):
-        # every homography consumer divides by z, so raw scale is
-        # meaningless — compare on the unit Frobenius sphere like the
-        # other parity tests (docs/PARITY.md trained-checkpoint caveat)
-        t = np.asarray(t, np.float64).reshape(3, 3)
-        t = t / np.linalg.norm(t)
-        return -t if t[2, 2] < 0 else t
+    from theta_utils import unit_theta as unit
 
     for i, (status, body) in enumerate(results):
         # f32-tail tolerance: the server's padded bucket (e.g. 8) and the

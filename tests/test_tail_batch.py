@@ -493,6 +493,14 @@ def test_loader_pad_global_flag():
     assert [bool(b["pad_global"]) for b in shard0] == [False, False, True]
     assert bool(np.all(shard0[2]["valid"]))
 
+    # pad_last=False (--tail exact): the tail batch is RAGGED but contains
+    # NO padding, so pad_global must stay False — it would otherwise
+    # dispatch a padding-free batch to the masked-BN program
+    ragged = list(Loader(DS(), 3, num_workers=1, pad_last=False))
+    assert [len(b["valid"]) for b in ragged] == [3, 3, 1]
+    assert [bool(b["pad_global"]) for b in ragged] == [False, False, False]
+    assert all(bool(np.all(b["valid"])) for b in ragged)
+
 
 @pytest.mark.full
 def test_exact_tail_cli_runs_ragged_last_batch(tmp_path):

@@ -109,20 +109,11 @@ def _court(dst):
     return json.load(open(path))
 
 
-def _unit_theta(t):
-    """Project a homography onto the unit Frobenius sphere (sign-fixed).
-
-    A briefly-trained checkpoint's raw theta scale is arbitrary and can be
-    huge: homography consumers all normalize (the warper's grid divide,
-    the PoI z-divide), so the scale direction is loss-invariant, and with
-    BN running stats only part-way adapted the eval-mode features — and
-    with them the raw head output — blow up (observed ~1.5e6 after 2
-    epochs, with BOTH frameworks agreeing to ~5e-7 relative).  Parity is
-    therefore asserted on the normalized matrix, same units as the
-    identity-scale fresh-init case."""
-    t = np.asarray(t, np.float64).reshape(3, 3)
-    t = t / np.linalg.norm(t)
-    return -t if t[2, 2] < 0 else t
+# parity is asserted on the unit Frobenius sphere: a briefly-trained
+# checkpoint's raw theta scale is arbitrary (observed ~1.5e6 after 2
+# epochs, with BOTH frameworks agreeing to ~5e-7 relative) — see the
+# shared helper's docstring
+from theta_utils import unit_theta as _unit_theta  # noqa: E402
 
 
 PROD_W, PROD_H = 640, 360          # the reference's shipped model size
